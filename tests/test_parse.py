@@ -1,0 +1,66 @@
+"""Parse engine: JVM and pandas paths must agree and be total."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from watchman_spark.config import DEFAULT_PATTERNS, parsed_struct
+from watchman_spark.operators.parse import flatten_parsed, with_parsed
+
+ROWS = [
+    ("c0", 0, "user", "say: alpha bravo charlie", None),
+    ("c0", 1, "assistant", "[tool:run_code] invoked args=3 latency_ms=250 status=ok", "run_code"),
+    ("c0", 2, "tool", "ERROR E404: not found after 17ms", None),
+    ("c0", 3, "user", None, None),
+    ("c0", 4, "user", "~~~ ???", None),
+    ("c0", 5, "assistant", "[tool:x] invoked args= latency_ms=9 status=ok", None),  # malformed
+]
+COLS = ["conv_id", "turn_idx", "role", "text", "tool"]
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return spark.createDataFrame(ROWS, COLS)
+
+
+@pytest.mark.parametrize("engine", ["jvm", "pandas"])
+def test_parse_fields(base, engine):
+    out = {r["turn_idx"]: r for r in flatten_parsed(with_parsed(base, engine=engine)).collect()}
+    tool_row = out[1]
+    assert tool_row["tool_name"] == "run_code"
+    assert tool_row["args_n"] == 3
+    assert tool_row["latency_ms"] == 250
+    assert tool_row["status"] == "ok"
+    assert tool_row["error_code"] is None
+    err_row = out[2]
+    assert err_row["error_code"] == "E404"
+    assert err_row["error_msg"] == "not found"
+    assert err_row["err_ms"] == 17
+    assert err_row["tool_name"] is None
+    # totality: say/null/noise/malformed rows survive with all-null capture
+    for idx in (0, 3, 4, 5):
+        r = out[idx]
+        assert all(
+            r[f] is None for f in ("tool_name", "args_n", "latency_ms", "error_code", "err_ms")
+        ), (idx, r)
+
+
+def test_engines_agree(base):
+    jvm = flatten_parsed(with_parsed(base, engine="jvm")).orderBy("turn_idx").collect()
+    pnd = flatten_parsed(with_parsed(base, engine="pandas")).orderBy("turn_idx").collect()
+    assert [tuple(r) for r in jvm] == [tuple(r) for r in pnd]
+
+
+def test_parsed_struct_schema():
+    s = parsed_struct(DEFAULT_PATTERNS)
+    assert [f.name for f in s.fields] == [
+        "tool_name", "args_n", "latency_ms", "status", "error_code", "error_msg", "err_ms",
+    ]
+
+
+def test_parse_pushdown_stays_jvm(base):
+    """JVM engine must not introduce any Python boundary in the plan."""
+    plan = with_parsed(base, engine="jvm")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

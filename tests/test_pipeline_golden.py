@@ -1,0 +1,96 @@
+"""Golden end-to-end: pipeline output vs analytically-derived golden counts.
+
+These are the reference's routed-row and per-sink aggregate-count checks
+(BASELINE.json:6) made executable: the generator KNOWS how many
+error/tool/plain turns it emitted; the pipeline must agree exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from watchman_spark.config import PipelineConfig
+from watchman_spark.plans.pipeline import run_pipeline
+from watchman_spark.schema import SINKS, TRANSCRIPT_SCHEMA
+from watchman_spark.sources.warehouse import ParquetWarehouse
+from watchman_spark.synth import compute_golden, role_dim, synth_transcripts, tool_dim
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, params, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("wh"))
+    wh = ParquetWarehouse(root)
+    wh.write_append(synth_transcripts(spark, params), "transcripts")
+    wh.write_append(role_dim(spark), "role_dim")
+    wh.write_append(tool_dim(spark), "tool_dim")
+    cfg = PipelineConfig(warehouse=root, n_buckets=8, salt=4, run_id="golden-run")
+    metrics = run_pipeline(spark, cfg)
+    return wh, cfg, metrics, compute_golden(params)
+
+
+def test_generator_determinism(spark, params, warehouse):
+    wh, *_ = warehouse
+    a = wh.read(spark, "transcripts", schema=TRANSCRIPT_SCHEMA)
+    b = synth_transcripts(spark, params)
+    assert a.count() == params.total_rows
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_per_sink_counts_match_golden(spark, warehouse):
+    wh, cfg, metrics, golden = warehouse
+    assert metrics.rows_per_sink == golden["per_sink"]
+    # and the committed aggregate table agrees with commit metadata
+    agg = {
+        r["sink"]: r["n"]
+        for r in wh.read(spark, "agg_sink_counts").groupBy("sink").agg(
+            F.sum("n").alias("n")
+        ).collect()
+    }
+    assert agg == golden["per_sink"]
+    assert sum(golden["per_sink"].values()) == golden["total_rows"]
+
+
+def test_routed_row_equality(spark, warehouse):
+    """input == union(sinks) exactly, per base columns (O5 both ways)."""
+    wh, cfg, metrics, golden = warehouse
+    base_cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+    inp = wh.read(spark, "transcripts", schema=TRANSCRIPT_SCHEMA).select(base_cols)
+    sinks = None
+    for s in SINKS:
+        part = wh.read(spark, f"sink_{s}").select(base_cols)
+        sinks = part if sinks is None else sinks.unionByName(part)
+    assert inp.exceptAll(sinks).count() == 0
+    assert sinks.exceptAll(inp).count() == 0
+
+
+def test_sinks_disjoint(spark, warehouse):
+    wh, *_ = warehouse
+    keys = None
+    total = 0
+    for s in SINKS:
+        part = wh.read(spark, f"sink_{s}").select("conv_id", "turn_idx")
+        total += part.count()
+        keys = part if keys is None else keys.unionByName(part)
+    assert keys.distinct().count() == total  # no (conv_id, turn_idx) in two sinks
+
+
+def test_per_role_counts(spark, warehouse):
+    wh, cfg, metrics, golden = warehouse
+    union = None
+    for s in SINKS:
+        part = wh.read(spark, f"sink_{s}").select("role")
+        union = part if union is None else union.unionByName(part)
+    got = {r["role"]: r["n"] for r in union.groupBy("role").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == golden["per_role"]
+
+
+def test_idempotent_rerun(spark, warehouse):
+    """Re-running over a fully-committed warehouse is a no-op."""
+    wh, cfg, metrics, golden = warehouse
+    before = {t: wh.snapshot(t) for t in ("sink_errors", "sink_tool_calls", "ledger")}
+    m2 = run_pipeline(spark, cfg)
+    assert m2.buckets == [] and m2.rows_in == 0
+    after = {t: wh.snapshot(t) for t in before}
+    assert after == before

@@ -1,0 +1,93 @@
+"""Pipeline configuration: grok pattern registry and run settings.
+
+Patterns are data (config-driven), schemas are computed from patterns at
+session start — not inferred from rows (SURVEY.md §1.3). One grok pattern is
+a regex with named capture groups; the union of all groups (declaration
+order, first-pattern-wins on name collision) defines the ``parsed`` struct.
+
+Provenance: BASELINE.json:6 ("grok-style regex extraction to the text
+column — tool invocations, error codes, latency markers").
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+_NAMED_GROUP = re.compile(r"\(\?P<([A-Za-z_][A-Za-z0-9_]*)>")
+
+
+@dataclass(frozen=True)
+class GrokPattern:
+    """One named extraction pattern.
+
+    ``regex`` uses Python named-group syntax ``(?P<name>...)``; the JVM path
+    converts to Java syntax ``(?<name>...)`` automatically. ``types`` maps
+    group name -> "int" | "string" (default string).
+    """
+
+    name: str
+    regex: str
+    types: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def groups(self) -> list[str]:
+        return _NAMED_GROUP.findall(self.regex)
+
+    @property
+    def java_regex(self) -> str:
+        # Java named groups forbid '_' in names; the JVM path extracts by
+        # group index, so plain unnamed groups are the portable form.
+        return _NAMED_GROUP.sub("(", self.regex)
+
+    def compiled(self) -> re.Pattern:
+        return re.compile(self.regex)
+
+
+# Default registry (FIXTURES.md §1 "Grok patterns"). ERROR's message group is
+# non-greedy so the trailing latency marker parses.
+DEFAULT_PATTERNS: tuple[GrokPattern, ...] = (
+    GrokPattern(
+        name="TOOL_CALL",
+        regex=(
+            r"\[tool:(?P<tool_name>[a-z_]+)\] invoked"
+            r" args=(?P<args_n>\d+) latency_ms=(?P<latency_ms>\d+)"
+            r" status=(?P<status>ok|err)"
+        ),
+        types={"args_n": "int", "latency_ms": "int"},
+    ),
+    GrokPattern(
+        name="ERROR",
+        regex=r"ERROR (?P<error_code>E\d{3}): (?P<error_msg>.+?) after (?P<err_ms>\d+)ms",
+        types={"err_ms": "int"},
+    ),
+)
+
+
+def parsed_struct(patterns: tuple[GrokPattern, ...] = DEFAULT_PATTERNS) -> StructType:
+    """Compute the ``parsed`` struct schema from a pattern registry."""
+    fields: list[StructField] = []
+    seen: set[str] = set()
+    for pat in patterns:
+        for g in pat.groups:
+            if g in seen:
+                continue
+            seen.add(g)
+            typ = IntegerType() if pat.types.get(g) == "int" else StringType()
+            fields.append(StructField(g, typ, True))
+    return StructType(fields)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Frozen run configuration for the batch pipeline (SURVEY.md §3.1)."""
+
+    warehouse: str  # root dir of the parquet-warehouse backend
+    input_table: str = "transcripts"
+    patterns: tuple[GrokPattern, ...] = DEFAULT_PATTERNS
+    n_buckets: int = 32  # conv_id hash buckets = checkpoint/work unit
+    salt: int = 16  # salt fan-out for skewed rollups
+    parse_engine: str = "jvm"  # "jvm" (regexp_extract) | "pandas" (Arrow UDF)
+    run_id: str = "run-0"

@@ -1,0 +1,68 @@
+"""Tag-based router — fans rows out to per-sink tables.
+
+BASELINE.json:6: "a tag-based router fans rows out to per-sink Iceberg
+tables (errors, tool-calls, conversational turns)". The routing rule is
+total (FIXTURES.md §1): every row gets exactly one sink tag, so the sinks
+partition the input — Σ sink counts == total rows is a tested invariant.
+
+Scale design: the parsed+enriched DataFrame is persisted ONCE, then each
+sink is a filter+append from the cached pass (Spark has no native
+single-pass multi-sink write; persisting avoids re-running scan+parse per
+sink — SURVEY.md §4 "single-pass multi-sink"). The only wide exchange in
+the whole pipeline is the explicit conv_id repartition here, which also
+establishes the stable turn ordering invariant (conv_id hash-partitioning
+plus turn_idx sortWithinPartitions, BASELINE.json:6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..schema import SINKS
+
+
+def sink_expr(parsed_col: str = "parsed") -> Column:
+    """errors if error_code else tool_calls if tool_name else conversational."""
+    p = F.col(parsed_col)
+    return (
+        F.when(p["error_code"].isNotNull(), F.lit("errors"))
+        .when(p["tool_name"].isNotNull(), F.lit("tool_calls"))
+        .otherwise(F.lit("conversational"))
+    )
+
+
+def with_sink(df: DataFrame, parsed_col: str = "parsed") -> DataFrame:
+    return df.withColumn("sink", sink_expr(parsed_col))
+
+
+def with_conv_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Stable hash bucket of conv_id — partition layout + checkpoint unit
+    (FIXTURES.md §4: conv_bucket = pmod(xxhash64(conv_id), N))."""
+    return df.withColumn(
+        "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def ordered_by_turn(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """The ordering half of the text-equality invariant (BASELINE.json:6):
+    hash-partition by conv_id, sort each partition by (conv_id, turn_idx).
+    This is the pipeline's single explicit shuffle."""
+    parted = (
+        df.repartition(n_partitions, "conv_id") if n_partitions else df.repartition("conv_id")
+    )
+    return parted.sortWithinPartitions("conv_id", "turn_idx")
+
+
+def split_by_sink(
+    df: DataFrame, persist: bool = True
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Persist the routed pass once; return (persisted_df, {sink: slice}).
+
+    Caller is responsible for ``persisted_df.unpersist()`` after all sink
+    writes + aggregates have run.
+    """
+    if persist:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df, {s: df.filter(F.col("sink") == s) for s in SINKS}

