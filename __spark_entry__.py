@@ -1,38 +1,82 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse→enrich→route→aggregate pipeline
+(watchman_spark.plans.pipeline) over /root/testdata/sf0.001 events
+reinterpreted as a transcript table, returning per-sink counts.
+``queries()``/``oracle_sql()`` delegate to the operator registry in
+watchman_spark.queries (one entry per implemented SURVEY.md §2 operator;
+DuckDB-oracled unless genuinely non-SQL-expressible).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from watchman_spark import queries as _registry  # noqa: E402
+from watchman_spark.config import PipelineConfig  # noqa: E402
+from watchman_spark.plans.pipeline import build_routed  # noqa: E402
+from watchman_spark.operators.aggregate import per_sink_counts  # noqa: E402
+from watchman_spark.queries_fn import _line_expr  # noqa: E402
+from watchman_spark.synth import role_dim, tool_dim  # noqa: E402
+
+
+def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reinterpret the driver's events table as a transcript table of the
+    BASELINE.json:15 shape (FIXTURES.md §6): one conversation per user,
+    turn order by (ts, event_id), synthetic log-line text per event."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", "system")
+        .when(F.col("event_type").isin("purchase", "signup"), "assistant")
+        .otherwise("user")
+        .alias("role"),
+        _line_expr().alias("text"),
+        F.when(F.col("event_type").isin("purchase", "signup"), "query_db")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tool"),
+        F.col("ts"),
+    )
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = PipelineConfig(warehouse="/unused", n_buckets=32)
+    routed = build_routed(
+        _events_as_transcripts(spark, sf_dir), cfg, role_dim(spark), tool_dim(spark)
+    )
+    return per_sink_counts(routed)
+
+
+# the flagship is itself oracle-checked: the router's sink decision (via
+# real grok parse of constructed lines) must equal the semantic mapping
+_registry.register(
+    "pipeline_per_sink",
+    """SELECT CASE WHEN event_type = 'error' THEN 'errors'
+                   WHEN event_type IN ('purchase','signup') THEN 'tool_calls'
+                   ELSE 'conversational' END AS sink,
+              COUNT(*) AS n,
+              COUNT(DISTINCT user_id) AS distinct_convs
+       FROM events GROUP BY 1""",
+)(_flagship)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry.oracle_sql()

@@ -1,0 +1,239 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All distributed compositions of built-in ops — no driver-side loops, no
+collect. Scale notes per operator:
+
+- exact: hash group-by on the dedup key; one shuffle on a well-distributed
+  key (sha256 of content), AQE handles size.
+- ngram-jaccard: shingle explode → shingle-equality self-join → per-pair
+  intersection counts. Shingle width k controls the join fan-out: wider
+  shingles = rarer = near-linear candidate generation at 100 TB.
+- minhash LSH: signature via per-seed min of xxhash64 over shingles (one
+  explode + one groupBy), banded bucketing, bucket-equality join for
+  candidates, exact jaccard verify. The classic web-dedup pipeline —
+  candidate count stays near-linear instead of O(n²).
+- simhash: 64-bit signatures from token-hash bit votes (pure JVM exprs),
+  band buckets, hamming-distance verify via popcount on xor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Groups of identical key_cols: keep lowest id, count members."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_n")
+    )
+
+
+def word_shingles(text: Column, k: int) -> Column:
+    """Distinct word k-gram shingles of a text column (built-ins only).
+    Empty array when the text has fewer than k words."""
+    words = F.split(text, " ", -1)
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) exploded table — the base for jaccard and minhash."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.6
+) -> DataFrame:
+    """Exact jaccard over word-k-gram shingle sets for candidate pairs that
+    share at least one shingle. Returns (id_a, id_b, jaccard)."""
+    sh = shingle_table(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+    ).alias("jaccard")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, n_hashes: int = 32
+) -> DataFrame:
+    """(id, sig: array<long>) — sig[i] = min over shingles of
+    xxhash64(i, shingle). One explode + one groupBy; n_hashes aggregate
+    expressions, all JVM-side."""
+    sh = shingle_table(df, id_col, text_col, k)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash + banded LSH candidates, verified with exact jaccard.
+
+    rows = n_hashes // bands per band; a pair is a candidate iff any band's
+    row-slice of the signature matches exactly (hash-equality join on the
+    band digest — near-linear candidate generation).
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold, exact.
+    """
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[i] for i in range(b * rows, (b + 1) * rows)]
+                        ).alias("digest"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("id", F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify: jaccard over true shingle sets, only for candidates
+    sh = shingle_table(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ca = candidates.join(sh.withColumnRenamed("id", "id_a"), "id_a").select(
+        "id_a", "id_b", "shingle"
+    )
+    cb = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("shingle_b"))
+    shared = (
+        ca.join(
+            cb, (ca.id_b == cb.id_b) & (ca.shingle == cb.shingle_b)
+        )
+        .groupBy("id_a", ca.id_b.alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit simhash from word-token hash bit votes — pure JVM expressions.
+
+    For each of 64 bit positions, the bit is 1 iff the majority of token
+    hashes have that bit set. Token hash = xxhash64(token).
+    """
+    tokens = F.array_distinct(F.split(text, " ", -1))
+    hashes = F.transform(tokens, lambda w: F.xxhash64(w))
+    n = F.size(hashes)
+    # votes[i] = count of hashes with bit i set; bit -> 1 if votes > n/2
+    bits = [
+        F.when(
+            F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << i)) != 0)) * 2 > n,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(63)  # skip the sign bit: keep results positive longs
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by simhash: band-bucket candidates (a pair within
+    hamming distance d < bands must agree exactly on >= 1 band), then exact
+    hamming verify via popcount of xor."""
+    width = 64 // bands
+    sims = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim"))
+    banded = sims.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sim", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("id", "sim", F.col("bd.band").alias("band"), F.col("bd.chunk").alias("chunk"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming")
+    return cand.select("id_a", "id_b", hamming).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with JVM higher-order functions
+(zip_with product + aggregate sum — no Python boundary). Scale path:
+random-hyperplane LSH bucketing so candidate generation is near-linear;
+hyperplanes are derived deterministically from xxhash64 so the whole thing
+is reproducible with no driver-side randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic accumulation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: Column | DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k by cosine to one query vector. ``query_vec`` may be a 1-row
+    DataFrame with a ``q`` array column (broadcast) or a literal Column."""
+    base = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    if isinstance(query_vec, DataFrame):
+        scored = base.crossJoin(F.broadcast(query_vec))
+    else:
+        scored = base.withColumn("q", query_vec)
+    return (
+        scored.select(
+            F.col(id_col), F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup pairs within blocks (e.g. label, LSH bucket): equi-join on
+    the block key keeps the pair space linear in block size."""
+    v = df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component d of plane p is
+    ±1 by the parity of xxhash64(p, d). A literal-free, seedable stand-in
+    for gaussian planes; sign-random projections preserve cosine locality."""
+    return F.array(
+        *[
+            F.when(F.xxhash64(F.lit(plane), F.lit(d)) % 2 == 0, F.lit(1.0)).otherwise(
+                F.lit(-1.0)
+            )
+            for d in range(dim)
+        ]
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Sign-projection LSH bucket id (long): bit p = sign(vec · plane_p)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bit = F.when(dot(vec, _hyperplane(p, dim)) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 20,
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN: restrict scoring to vectors in the query's LSH bucket, then
+    exact cosine rank inside the bucket. Recall < 1 by design; at 100 TB
+    you'd multi-probe (union several nearby buckets) to trade cost/recall."""
+    base = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).withColumn(
+        "bucket", lsh_bucket(F.col("v"), dim, n_planes)
+    )
+    q = query_df.select(as_double(F.col("q")).alias("q")).withColumn(
+        "bucket", lsh_bucket(F.col("q"), dim, n_planes)
+    )
+    return (
+        base.join(F.broadcast(q), "bucket")
+        .select(F.col(id_col), F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,82 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All pure JVM expressions (codegen-friendly, no Python boundary); each has a
+closed-form DuckDB oracle in queries_text.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "und", "das", "ist", "von", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+}
+LANG_ORDER = ["en", "es", "de", "fr"]  # tie-break priority
+
+
+def words(text: Column) -> Column:
+    return F.split(F.lower(text), " ", -1)
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words(text), lambda w: F.array_contains(sw, w)))
+
+
+def lang_guess(text: Column) -> Column:
+    """argmax of per-language stopword hits; ties broken by LANG_ORDER;
+    'und' (undetermined) when no list scores a hit."""
+    scores = {lang: stopword_hits(text, lang) for lang in LANG_ORDER}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(LANG_ORDER):  # earlier langs overwrite on ties
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace tokens."""
+    return F.size(F.split(text, " ", -1)).cast("long")
+
+
+BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token estimate: alpha runs, digit runs, single punctuation."""
+    return F.regexp_count(F.lower(text), F.lit(BPE_ISH)).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    clean = F.regexp_replace(F.lower(text), "[a-z0-9 ]", "")
+    return F.length(clean) / F.length(text)
+
+
+def stopword_ratio(text: Column) -> Column:
+    return stopword_hits(text, "en") / F.size(words(text))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality: length credit + stopword credit −
+    punctuation penalty. The exact formula is arbitrary; determinism and
+    scale-safety are the contract."""
+    len_credit = F.least(F.length(text) / F.lit(400.0), F.lit(1.0))
+    raw = 0.5 * len_credit + 0.5 * stopword_ratio(text) - punct_ratio(text)
+    # floor-truncate instead of round: round-half semantics differ between
+    # engines (Spark HALF_UP vs DuckDB banker's); floor on the identical
+    # input double is unambiguous
+    return F.floor(raw * 10000).cast("double") / 10000
+
+
+def fingerprint(text: Column, k: int = 5) -> Column:
+    """Deterministic document fingerprint: lexicographic min of sha256 over
+    word-k-gram shingles (a 1-perm MinHash with a portable hash). Null for
+    docs shorter than k words."""
+    return F.array_min(F.transform(word_shingles(text, k), lambda s: F.sha2(s, 256)))

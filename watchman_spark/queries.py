@@ -1,0 +1,606 @@
+"""Operator registry: every SURVEY.md §2 query name → (Spark fn, oracle SQL).
+
+The driver runs each ``queries()[name](spark, sf_dir)`` and compares against
+``oracle_sql()[name]`` executed by DuckDB on the same parquet (row count +
+schema + order-insensitive value-hash, columns sorted by name). Rules kept
+throughout this module:
+
+- every computed column is aliased identically on both sides;
+- Spark int32 results (year/length/row_number/...) are cast to long because
+  the DuckDB equivalents return BIGINT;
+- DuckDB SUM(integer) returns HUGEINT, so oracles cast to BIGINT;
+- double aggregates are wrapped in round(x, 2..4) on BOTH sides — float
+  summation order is nondeterministic across partitions, exact last-ulp
+  equality between engines (or even two Spark runs) is not a thing;
+- ties in every window/top-k ordering are broken by a unique key.
+
+Queries with ``oracle=None`` are rows-only (non-SQL-expressible or
+engine-specific hashes); each one has a pytest asserting its semantics
+instead (tests/).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.aggregate import salted_agg
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: QueryFn
+    oracle: str | None  # None => rows-only check
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QueryDef(fn, oracle)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# 2.1 scans / sources
+# ---------------------------------------------------------------------------
+
+@register(
+    "scan_parquet",
+    """SELECT l_orderkey, l_linenumber, l_quantity
+       FROM lineitem WHERE l_quantity > 45""",
+)
+def scan_parquet(spark, sf_dir):
+    # predicate + projection must reach the parquet scan (PushedFilters)
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .filter(F.col("l_quantity") > 45)
+    )
+
+
+def _jsonl_path(sf_dir: str) -> str:
+    """Materialize events as JSON-lines once per sf_dir (derived from the
+    driver's parquet — stdlib json for exact float round-trip)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/watchman_jsonl_{tag}/events.jsonl"
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "event_type", "value"]
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for row in tbl.to_pylist():
+                f.write(json.dumps(row) + "\n")
+        os.replace(tmp, path)
+    return path
+
+
+@register("scan_jsonl", "SELECT event_id, event_type, value FROM events")
+def scan_jsonl(spark, sf_dir):
+    # raw log-line ingest path (S3): explicit schema, no inference
+    return spark.read.schema("event_id long, event_type string, value double").json(
+        _jsonl_path(sf_dir)
+    ).select("event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# 2.2 projections / filters
+# ---------------------------------------------------------------------------
+
+@register(
+    "project_basic",
+    """SELECT o_orderkey, o_totalprice, YEAR(o_orderdate) AS o_year,
+              o_orderpriority AS prio
+       FROM orders""",
+)
+def project_basic(spark, sf_dir):
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+
+
+@register(
+    "filter_pred",
+    """SELECT l_orderkey, l_linenumber
+       FROM lineitem
+       WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.08
+         AND l_returnflag IN ('A','R')""",
+)
+def filter_pred(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30)
+        & F.col("l_discount").between(0.02, 0.08)
+        & F.col("l_returnflag").isin("A", "R")
+    ).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "filter_rlike",
+    r"""SELECT doc_id FROM documents
+        WHERE regexp_matches(text, 'join.*(merge|hash)')""",
+)
+def filter_rlike(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike(r"join.*(merge|hash)"))
+        .select("doc_id")
+    )
+
+
+@register(
+    "project_null_default",
+    """SELECT event_id,
+              COALESCE(NULLIF(event_type, 'view'), 'filtered') AS etype,
+              CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS band
+       FROM events""",
+)
+def project_null_default(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("view")), F.lit("filtered")).alias("etype"),
+        F.when(F.col("value") > 50, "hi").otherwise("lo").alias("band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.3 joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_broadcast",
+    """SELECT n.n_name, r.r_name
+       FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""",
+)
+def join_broadcast(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_name", "r_name")
+
+
+@register(
+    "join_sortmerge",
+    """SELECT o.o_orderstatus, COUNT(*) AS n,
+              round(SUM(l.l_quantity), 2) AS sum_qty
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       GROUP BY o.o_orderstatus""",
+)
+def join_sortmerge(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    joined = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "join_semi",
+    """SELECT c_custkey FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def join_semi(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@register(
+    "join_anti",
+    """SELECT c_custkey FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def join_anti(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "join_left",
+    """SELECT c.c_custkey, n.n_name
+       FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+)
+def join_left(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left").select(
+        "c_custkey", "n_name"
+    )
+
+
+@register(
+    "join_asof",
+    """SELECT event_id, next_event_id, gap_us FROM (
+         SELECT event_id, event_type,
+                LEAD(event_id) OVER w AS next_event_id,
+                LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ) WHERE event_type = 'error'""",
+)
+def join_asof(spark, sf_dir):
+    # as-of pairing: each error event with the next event of the same user
+    # (J7: equi on key + lead() over event order — no non-equi shuffle join)
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_event_id", F.lead("event_id").over(w))
+        .withColumn(
+            "gap_us",
+            F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+            - F.unix_micros(F.col("ts").cast("timestamp")),
+        )
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "next_event_id", "gap_us")
+    )
+
+
+@register(
+    "join_cross_small",
+    """SELECT r1.r_name AS a, r2.r_name AS b
+       FROM region r1 CROSS JOIN region r2 WHERE r1.r_regionkey < r2.r_regionkey""",
+)
+def join_cross_small(spark, sf_dir):
+    r1 = t(spark, sf_dir, "region").select(
+        F.col("r_name").alias("a"), F.col("r_regionkey").alias("k1")
+    )
+    r2 = t(spark, sf_dir, "region").select(
+        F.col("r_name").alias("b"), F.col("r_regionkey").alias("k2")
+    )
+    return r1.crossJoin(r2).filter(F.col("k1") < F.col("k2")).select("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# 2.4 aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_per_sink_counts",
+    """SELECT event_type AS sink, COUNT(*) AS n,
+              COUNT(DISTINCT user_id) AS distinct_users
+       FROM events GROUP BY event_type""",
+)
+def agg_per_sink_counts(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("sink"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("distinct_users"),
+        )
+    )
+
+
+@register(
+    "agg_rollup_crt",
+    """SELECT user_id, event_type, COUNT(*) AS n,
+              round(SUM(value), 2) AS sum_value
+       FROM events GROUP BY user_id, event_type""",
+)
+def agg_rollup_crt(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@register(
+    "agg_salted",
+    """SELECT user_id, COUNT(*) AS n, round(SUM(value), 2) AS sum_value,
+              round(MIN(value), 6) AS min_value, round(MAX(value), 6) AS max_value
+       FROM events GROUP BY user_id""",
+)
+def agg_salted(spark, sf_dir):
+    # oracle is the UNSALTED SQL — results must be identical (A3 contract)
+    ev = t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["user_id"],
+        aggs=[
+            ("count", None, "n"),
+            ("sum", "value", "__sv"),
+            ("min", "value", "__mn"),
+            ("max", "value", "__mx"),
+        ],
+        salt_n=8,
+        salt_cols=["user_id", "event_id"],
+    )
+    return out.select(
+        "user_id",
+        "n",
+        F.round("__sv", 2).alias("sum_value"),
+        F.round("__mn", 6).alias("min_value"),
+        F.round("__mx", 6).alias("max_value"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS du, COUNT(*) AS n
+       FROM events GROUP BY event_type""",
+)
+def agg_count_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("du"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("agg_approx_distinct", None)  # rows-only: HLL estimates differ by engine
+def agg_approx_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_du"))
+    )
+
+
+@register(
+    "agg_rollup_hier",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def agg_rollup_hier(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "agg_collect_ordered",
+    """SELECT user_id,
+              string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+       FROM events GROUP BY user_id""",
+)
+def agg_collect_ordered(spark, sf_dir):
+    # ordered digest per group: sort_array over (ts, event_id) struct keeps
+    # the aggregation shuffle-safe (no assumption about input row order)
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("seq")
+    )
+
+
+@register(
+    "agg_p95_latency",
+    """SELECT event_type, round(quantile_cont(value, 0.95), 4) AS p95_value
+       FROM events GROUP BY event_type""",
+)
+def agg_p95_latency(spark, sf_dir):
+    # exact interpolated percentile (matches quantile_cont semantics)
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.percentile("value", 0.95), 4).alias("p95_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.5 windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "win_row_number",
+    """SELECT o_orderkey,
+              CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+       FROM orders""",
+)
+def win_row_number(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.row_number().over(w).cast("long").alias("rn")
+    )
+
+
+@register(
+    "win_rank",
+    """SELECT o_orderkey,
+              CAST(RANK() OVER (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC) AS BIGINT) AS rk,
+              CAST(DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC) AS BIGINT) AS drk
+       FROM orders""",
+)
+def win_rank(spark, sf_dir):
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"))
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    """SELECT event_id,
+              LAG(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+              LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id
+       FROM events""",
+)
+def win_lag_lead(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lead("event_id").over(w).alias("next_id"),
+    )
+
+
+@register(
+    "win_rows_frame",
+    """SELECT event_id,
+              round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS roll3
+       FROM events""",
+)
+def win_rows_frame(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return t(spark, sf_dir, "events").select(
+        "event_id", F.round(F.sum("value").over(w), 2).alias("roll3")
+    )
+
+
+@register(
+    "win_range_frame",
+    """SELECT event_id,
+              COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+       FROM events""",
+)
+def win_range_frame(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
+
+
+@register(
+    "win_topk",
+    """SELECT user_id, event_id FROM (
+         SELECT user_id, event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events) WHERE rn <= 2""",
+)
+def win_topk(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.6 sorts / limits / set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "sort_global",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey""",
+)
+def sort_global(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@register(
+    "sort_limit_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def sort_limit_topk(spark, sf_dir):
+    # planned as TakeOrderedAndProject — no global sort materialization
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "setop_union",
+    """SELECT event_id, event_type FROM events WHERE event_type = 'click'
+       UNION ALL
+       SELECT event_id, event_type FROM events WHERE event_type = 'view'""",
+)
+def setop_union(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type")
+    return ev.filter(F.col("event_type") == "click").unionByName(
+        ev.filter(F.col("event_type") == "view")
+    )
+
+
+@register(
+    "setop_except",
+    """SELECT c_custkey FROM customer
+       EXCEPT ALL
+       SELECT o_custkey AS c_custkey FROM orders""",
+)
+def setop_except(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o)
+
+
+@register(
+    "setop_intersect",
+    """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+       INTERSECT
+       SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""",
+)
+def setop_intersect(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return a.intersect(b)
+
+
+@register(
+    "setop_distinct",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def setop_distinct(spark, sf_dir):
+    return t(spark, sf_dir, "events").select("user_id", "event_type").dropDuplicates()
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
+
+
+# Import-time registration of the remaining families (scalar functions, UDF
+# surface, dedup/similarity/text-analysis). Kept in separate modules to stay
+# readable; importing them populates REGISTRY via @register.
+from . import queries_fn  # noqa: E402,F401
+from . import queries_text  # noqa: E402,F401

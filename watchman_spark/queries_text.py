@@ -1,0 +1,252 @@
+"""Training-data pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — over the driver's documents/embeddings tables.
+
+Oracle-checked wherever DuckDB can express the same computation exactly
+(shingle jaccard, sha-fingerprints, cosine with explicit sequential-fold
+arithmetic); engine-native-hash operators (minhash/simhash/LSH) are
+rows-only with semantics pytested in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import multimodal, textstats
+from .operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from .operators.similarity import (
+    as_double,
+    brute_force_topk,
+    cosine_pairs_blocked,
+    lsh_topk,
+)
+from .operators.textstats import STOPWORDS
+from .queries import register, t
+
+# documents with planted duplicates (derived purely from the driver table,
+# deterministic): full copies of doc_id % 7 == 0 under shifted ids.
+_PLANTED_SQL = """(SELECT doc_id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + 100000 AS doc_id, text
+                   FROM documents WHERE doc_id % 7 = 0)"""
+
+
+def _planted(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return d.unionByName(dups)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    f"""SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS dup_n
+        FROM {_PLANTED_SQL} GROUP BY text""",
+)
+def dedup_exact(spark, sf_dir):
+    return exact_dedup(_planted(spark, sf_dir), key_cols=["text"], id_col="doc_id").select(
+        "keep_id", "dup_n"
+    )
+
+
+_SHINGLE_CTE = """
+  docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM {base}),
+  sets AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+                    for i in generate_series(1, len(w)-4)])) AS shingle
+      FROM docs WHERE len(w) >= 5)),
+  sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sets GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH {_SHINGLE_CTE.format(base=_PLANTED_SQL)},
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+          FROM sets a JOIN sets b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.6""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _planted(spark, sf_dir), id_col="doc_id", text_col="text", k=5, threshold=0.6
+    ).select(F.col("id_a"), F.col("id_b"), "jaccard")
+
+
+@register("dedup_minhash_lsh", None)  # rows-only: xxhash64 signatures
+def dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(
+        _planted(spark, sf_dir), id_col="doc_id", text_col="text",
+        k=5, n_hashes=32, bands=8, threshold=0.6,
+    )
+
+
+@register("dedup_simhash", None)  # rows-only: xxhash64 bit votes
+def dedup_simhash(spark, sf_dir):
+    return simhash_pairs(
+        _planted(spark, sf_dir), id_col="doc_id", text_col="text", max_hamming=3, bands=4
+    )
+
+
+_COS_SQL = """round(
+    list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""WITH v AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cos_sim
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_COS_SQL} >= 0.9""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return cosine_pairs_blocked(
+        t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.9
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_brute_force",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM v WHERE vec_id = 0)
+        SELECT a.vec_id,
+               round(list_dot_product(a.v, q.qv)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                     4) AS cos_sim
+        FROM v a, q
+        ORDER BY cos_sim DESC, a.vec_id LIMIT 20""",
+)
+def ann_brute_force(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(as_double(F.col("embedding")).alias("q"))
+    return brute_force_topk(emb, q, k=20)
+
+
+@register("ann_lsh", None)  # rows-only: bucket membership is hash-defined
+def ann_lsh(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    # 4 planes = 16 buckets: sized so a bucket holds ~1/16 of the corpus —
+    # enough candidates to rank at test scale; at 100 TB raise planes and
+    # multi-probe instead
+    return lsh_topk(emb, q, dim=64, k=20, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def _sw_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), x -> list_contains([{lst}], x)))"
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""WITH s AS (SELECT doc_id, lang,
+                {_sw_sql('en')} AS s_en, {_sw_sql('es')} AS s_es,
+                {_sw_sql('de')} AS s_de, {_sw_sql('fr')} AS s_fr
+         FROM documents)
+       SELECT doc_id, lang,
+              CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                   WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+                   WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                   WHEN s_fr > 0 THEN 'fr'
+                   ELSE 'und' END AS lang_guess
+       FROM s""",
+)
+def text_lang_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", textstats.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+@register(
+    "text_quality",
+    f"""SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars_q,
+              CAST(floor((
+                0.5 * least(length(text) / 400.0, 1.0)
+                + 0.5 * ({_sw_sql('en')} * 1.0 / len(string_split(lower(text), ' ')))
+                - (length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / length(text))
+              ) * 10000) AS DOUBLE) / 10000 AS quality
+       FROM documents""",
+)
+def text_quality(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_q"),
+        textstats.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "text_tokens",
+    f"""SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+              CAST(len(regexp_extract_all(lower(text), '{textstats.BPE_ISH}')) AS BIGINT)
+                AS bpe_tokens
+       FROM documents""",
+)
+def text_tokens(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).alias("ws_tokens"),
+        textstats.token_count_bpe(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """SELECT doc_id,
+              list_min(list_transform(
+                list_distinct([array_to_string(w[i:i+4], ' ')
+                               for i in generate_series(1, len(w)-4)]),
+                s -> sha256(s))) AS fp
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       WHERE len(w) >= 5""",
+)
+def text_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.size(F.split("text", " ", -1)) >= 5)
+        .select("doc_id", textstats.fingerprint(F.col("text"), k=5).alias("fp"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (stubbed codecs, real Spark contract)
+# ---------------------------------------------------------------------------
+
+@register("multimodal_features", None)  # rows-only: stub feature vectors
+def multimodal_features(spark, sf_dir):
+    media = multimodal.synthesize_media(
+        t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+    return multimodal.extract_features(media, dim=16)
