@@ -1,0 +1,98 @@
+"""Resume-equivalence and crash-recovery properties (SURVEY.md §5.3-4 d/e,
+BASELINE.json:14 "resumable from checkpoint with per-partition lineage")."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from watchman_spark.config import PipelineConfig
+from watchman_spark.plans.pipeline import run_pipeline
+from watchman_spark.schema import SINKS, TRANSCRIPT_SCHEMA
+from watchman_spark.sources import checkpoint as ckpt
+from watchman_spark.sources.warehouse import ParquetWarehouse
+from watchman_spark.synth import SynthParams, role_dim, synth_transcripts, tool_dim
+
+PARAMS = SynthParams(seed=11, n_convs=80, C=500, hot_cap=200)
+
+
+def _fresh(spark, tmp_path, name) -> tuple[ParquetWarehouse, PipelineConfig]:
+    root = str(tmp_path / name)
+    wh = ParquetWarehouse(root)
+    wh.write_append(synth_transcripts(spark, PARAMS), "transcripts")
+    wh.write_append(role_dim(spark), "role_dim")
+    wh.write_append(tool_dim(spark), "tool_dim")
+    return wh, PipelineConfig(warehouse=root, n_buckets=8, salt=4, run_id="r1")
+
+
+def _sink_rows(spark, wh):
+    out = {}
+    for s in SINKS:
+        df = wh.read(spark, f"sink_{s}")
+        out[s] = sorted(
+            tuple(r) for r in df.select("conv_id", "turn_idx", "role", "text").collect()
+        )
+    return out
+
+
+def test_resume_equals_single_run(spark, tmp_path):
+    # reference: one uninterrupted run
+    wh_a, cfg_a = _fresh(spark, tmp_path, "a")
+    run_pipeline(spark, cfg_a)
+
+    # interrupted: 3 buckets, then "crash", then resume to completion
+    wh_b, cfg_b = _fresh(spark, tmp_path, "b")
+    from dataclasses import replace
+
+    m1 = run_pipeline(spark, replace(cfg_b, max_buckets_per_run=3, run_id="part1"))
+    assert len(m1.buckets) == 3
+    assert len(ckpt.committed_buckets(spark, wh_b)) == 3
+    m2 = run_pipeline(spark, replace(cfg_b, run_id="part2"))
+    assert len(m2.buckets) == 5
+
+    assert _sink_rows(spark, wh_a) == _sink_rows(spark, wh_b)
+    # aggregate partials re-aggregate to identical totals
+    tot_a = {
+        r["sink"]: r["n"]
+        for r in wh_a.read(spark, "agg_sink_counts").groupBy("sink").agg(F.sum("n").alias("n")).collect()
+    }
+    tot_b = {
+        r["sink"]: r["n"]
+        for r in wh_b.read(spark, "agg_sink_counts").groupBy("sink").agg(F.sum("n").alias("n")).collect()
+    }
+    assert tot_a == tot_b
+
+
+def test_crash_between_sink_and_ledger_is_rolled_back(spark, tmp_path):
+    wh, cfg = _fresh(spark, tmp_path, "c")
+    run_pipeline(spark, cfg)
+    before = _sink_rows(spark, wh)
+
+    # simulate a run that died after appending sink data but before the
+    # ledger commit: its buckets are not (all) in the ledger
+    orphan = wh.read(spark, "sink_errors").limit(7)
+    wh.write_append(
+        orphan, "sink_errors", lineage={"run_id": "dead", "buckets": [999]}
+    )
+    orphan2 = wh.read(spark, "sink_tool_calls").limit(3)
+    wh.write_append(
+        orphan2, "agg_sink_counts", lineage={"run_id": "dead", "buckets": [998, 1]}
+    )
+    pruned = ckpt.reconcile(spark, wh)
+    assert ("sink_errors" in dict(pruned)) and ("agg_sink_counts" in dict(pruned))
+    assert _sink_rows(spark, wh) == before
+    # reconcile is idempotent
+    assert ckpt.reconcile(spark, wh) == []
+
+
+def test_ledger_lineage_covers_all_buckets(spark, tmp_path):
+    wh, cfg = _fresh(spark, tmp_path, "d")
+    run_pipeline(spark, cfg)
+    led = wh.read(spark, ckpt.LEDGER_TABLE)
+    rows = led.collect()
+    assert {r["bucket"] for r in rows} == set(range(cfg.n_buckets))
+    total = sum(r["rows"] for r in rows)
+    assert total == PARAMS.total_rows
+    nonempty = [r for r in rows if r["rows"] > 0]
+    assert all(r["min_conv"] is not None and r["max_conv"] <= "conv99999999" for r in nonempty)

@@ -1,0 +1,104 @@
+"""Semantics of the engine-native-hash dedup operators (rows-only in the
+driver oracle): planted near-duplicates must be found, non-dups must not."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from watchman_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+    word_shingles,
+)
+
+DOCS = [
+    # (id, text): 0/100 identical; 1/101 near-identical (one word changed);
+    # 2, 3 unrelated
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (100, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "pack my box with five dozen liquor jugs before the night falls down"),
+    (101, "pack my box with five dozen liquor jugs before the night ends down"),
+    (2, "colorless green ideas sleep furiously under a bright winter moon"),
+    (3, "a completely different sentence about spark shuffles and parquet files"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, ["text"], "doc_id")
+    groups = {r["keep_id"]: r["dup_n"] for r in out.collect()}
+    assert groups[0] == 2  # 0 and 100 merged, min id kept
+    assert groups[1] == 1 and groups[2] == 1
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["t"])
+    rows = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == []  # shorter than k
+
+
+def test_ngram_jaccard_finds_planted(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    assert pairs[(0, 100)] == 1.0
+    assert (1, 101) in pairs and 0.5 <= pairs[(1, 101)] < 1.0
+    assert not any({a, b} & {2, 3} for a, b in pairs)
+
+
+def test_minhash_lsh_finds_planted(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, n_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(0, 100)] == 1.0  # identical docs always collide in LSH
+    # jaccard values reported by LSH must be the EXACT jaccard
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    for k_, v in pairs.items():
+        assert exact[k_] == v
+
+
+def test_simhash_identical_and_near(spark, docs):
+    sims = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()
+    }
+    assert sims[0] == sims[100]  # identical text -> identical simhash
+    assert all(s >= 0 for s in sims.values())  # sign bit never set
+    ham_1_101 = bin(sims[1] ^ sims[101]).count("1")
+    ham_0_2 = bin(sims[0] ^ sims[2]).count("1")
+    assert ham_1_101 < ham_0_2  # near-dup closer than unrelated
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3, bands=4).collect()
+    }
+    assert pairs[(0, 100)] == 0
+
+
+def test_lsh_bands_guarantee(spark):
+    """A pair with >= 1 identical band slice must be a candidate: verify via
+    duplicated docs at larger scale (every doc duplicated)."""
+    base = [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7} filler{i} more{i} words{i}") for i in range(40)]
+    rows = base + [(i + 1000, t) for i, t in base]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = minhash_lsh_pairs(df, "doc_id", "text", k=3, n_hashes=16, bands=8, threshold=0.99)
+    found = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    for i, _ in base:
+        assert (i, i + 1000) in found

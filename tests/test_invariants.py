@@ -1,0 +1,43 @@
+"""Invariant audit operators against a fully-run warehouse, including the
+golden digest comparison (the per-turn text-equality check)."""
+
+from __future__ import annotations
+
+import pytest
+
+from watchman_spark.config import PipelineConfig
+from watchman_spark.operators import invariants as inv
+from watchman_spark.plans.pipeline import run_pipeline
+from watchman_spark.sources.warehouse import ParquetWarehouse
+from watchman_spark.synth import SynthParams, compute_golden, role_dim, synth_transcripts, tool_dim
+
+PARAMS = SynthParams(seed=23, n_convs=70, C=400, hot_cap=150)
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("inv_wh"))
+    w = ParquetWarehouse(root)
+    w.write_append(synth_transcripts(spark, PARAMS), "transcripts")
+    w.write_append(role_dim(spark), "role_dim")
+    w.write_append(tool_dim(spark), "tool_dim")
+    run_pipeline(spark, PipelineConfig(warehouse=root, n_buckets=8, run_id="inv"))
+    return w
+
+
+def test_routed_row_equality(spark, wh):
+    assert inv.routed_row_equality(spark, wh) == {
+        "missing_from_sinks": 0,
+        "extra_in_sinks": 0,
+    }
+
+
+def test_sinks_disjoint(spark, wh):
+    assert inv.sinks_disjoint(spark, wh)
+
+
+def test_text_equality_digests_match_golden(spark, wh):
+    golden = compute_golden(PARAMS)
+    sample = list(golden["conv_digests"])
+    got = inv.text_equality_digests(spark, wh, sample_convs=sample)
+    assert got == golden["conv_digests"]

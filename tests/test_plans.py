@@ -1,0 +1,104 @@
+"""Physical-plan assertions: the optimizations we rely on must actually be
+in the plan, not just intended (SURVEY.md §4). Guards against regressions
+that stay correct but lose pushdown/broadcast/partial-agg at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+QUERIES = entrymod.queries()
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown(spark):
+    plan = plan_of(spark, "scan_parquet")
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:120]
+    # column pruning: text-heavy columns absent from ReadSchema
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" not in read_schema
+
+
+def test_broadcast_join_is_broadcast(spark):
+    plan = plan_of(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_join_forms(spark):
+    assert "LeftSemi" in plan_of(spark, "join_semi")
+    assert "LeftAnti" in plan_of(spark, "join_anti")
+
+
+def test_partial_final_aggregation(spark):
+    # two-phase agg: map-side partial before the exchange
+    plan = plan_of(spark, "agg_rollup_crt")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_salted_agg_two_stage(spark):
+    plan = plan_of(spark, "agg_salted")
+    # stage 1 groups by (key, salt); stage 2 by key — at least 2 aggregates
+    assert plan.count("HashAggregate") >= 2
+    assert "xxhash64" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_jvm_parse_stays_in_codegen(spark):
+    from watchman_spark.operators.parse import with_parsed
+    from watchman_spark.operators.route import with_sink
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").withColumnRenamed("text", "text")
+    plan = (
+        with_sink(with_parsed(df, engine="jvm"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # '*(n)' prefixes mark whole-stage-codegen'd operators in this format
+    assert "*(1)" in plan
+
+
+def test_pandas_parse_is_arrow_not_row_python(spark):
+    from watchman_spark.operators.parse import with_parsed
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = with_parsed(df, engine="pandas")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # vectorized
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_pipeline_single_exchange(spark, tmp_path):
+    """The batch pipeline plan has exactly one all-to-all exchange (the
+    conv_bucket repartition) plus the broadcast exchanges for dims."""
+    import re
+
+    from watchman_spark.config import PipelineConfig
+    from watchman_spark.plans.pipeline import build_routed
+    from watchman_spark.schema import TRANSCRIPT_SCHEMA
+    from watchman_spark.synth import SynthParams, role_dim, synth_transcripts, tool_dim
+
+    src = str(tmp_path / "t.parquet")
+    synth_transcripts(spark, SynthParams(seed=1, n_convs=10, C=50, hot_cap=20)).write.parquet(src)
+    df = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    cfg = PipelineConfig(warehouse="/unused", n_buckets=4)
+    plan = (
+        build_routed(df, cfg, role_dim(spark), tool_dim(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shuffles = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(shuffles) == 1, plan[:500]
+    assert plan.count("BroadcastExchange") == 2

@@ -1,0 +1,99 @@
+"""Property-based tests (SURVEY.md §5.3-4): parse totality, router
+partition/totality, salted == unsalted equivalence."""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+from pyspark.sql import functions as F
+
+from watchman_spark.operators.aggregate import salted_agg
+from watchman_spark.operators.parse import flatten_parsed, with_parsed
+from watchman_spark.operators.route import with_sink
+from watchman_spark.schema import SINKS
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+texts = st.one_of(
+    st.none(),
+    st.text(max_size=80),
+    st.from_regex(r"\[tool:[a-z_]{1,8}\] invoked args=\d{1,2} latency_ms=\d{1,4} status=(ok|err)", fullmatch=True),
+    st.from_regex(r"ERROR E\d\d\d: [a-z ]{1,20} after \d{1,4}ms", fullmatch=True),
+)
+
+
+@pytest.mark.parametrize("engine", ["jvm", "pandas"])
+@given(data=st.lists(texts, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_parse_total_and_router_partitions(spark, engine, data):
+    """For arbitrary (including adversarial) text, parse never throws, never
+    drops rows, and the router assigns exactly one sink to every row."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(data)], "i long, text string")
+    out = with_sink(with_parsed(df, engine=engine)).collect()
+    assert len(out) == len(data)
+    assert all(r["sink"] in SINKS for r in out)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-1000, 1000)), min_size=1, max_size=60
+    ),
+    salt_n=st.integers(2, 9),
+)
+@settings(**SETTINGS)
+def test_salted_equals_unsalted(spark, rows, salt_n):
+    df = spark.createDataFrame(rows, ["k", "v"])
+    salted = salted_agg(
+        df,
+        keys=["k"],
+        aggs=[("count", None, "n"), ("sum", "v", "s"), ("min", "v", "mn"), ("max", "v", "mx")],
+        salt_n=salt_n,
+    )
+    naive = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+        F.min("v").alias("mn"), F.max("v").alias("mx"),
+    )
+    a = {tuple(r) for r in salted.collect()}
+    b = {tuple(r) for r in naive.collect()}
+    assert a == b
+
+
+@pytest.mark.parametrize("engine", ["jvm", "pandas"])
+def test_parse_adversarial_literals(spark, engine):
+    """Regex metacharacters, unicode, near-miss patterns parse to null."""
+    rows = [
+        (0, "[tool:] invoked args=1 latency_ms=2 status=ok"),     # empty name
+        (1, "[tool:UPPER] invoked args=1 latency_ms=2 status=ok"),  # case
+        (2, "ERROR E12: short after 5ms"),                         # 2-digit code
+        (3, "ERROR E123: no latency suffix"),                      # missing tail
+        (4, "prefix [tool:ok_tool] invoked args=3 latency_ms=4 status=err suffix"),
+        (5, "\\[tool:x\\] invoked args=1 latency_ms=1 status=ok"),
+        (6, "☃" * 50),
+        (7, "ERROR E999: " + "x" * 2000 + " after 1ms"),           # long msg
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    out = {r["i"]: r for r in flatten_parsed(with_parsed(df, engine=engine)).collect()}
+    for i in (0, 1, 2, 3, 6):
+        assert out[i]["tool_name"] is None and out[i]["error_code"] is None, i
+    assert out[4]["tool_name"] == "ok_tool"  # unanchored grok matches inside line
+    assert out[7]["error_code"] == "E999" and out[7]["err_ms"] == 1
+
+
+def test_engines_agree_on_adversarial(spark):
+    rows = [(i, t) for i, t in enumerate([
+        "[tool:a] invoked args=01 latency_ms=0001 status=ok",
+        "ERROR E000:  after 0ms",
+        "[tool:a] invoked args=1 latency_ms=1 status=okx",
+        "ERROR E123: m after 12msx",
+        None, "", " ",
+    ])]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    a = flatten_parsed(with_parsed(df, engine="jvm")).orderBy("i").collect()
+    b = flatten_parsed(with_parsed(df, engine="pandas")).orderBy("i").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -1,0 +1,80 @@
+"""Similarity-search semantics: brute-force is ground truth; LSH buckets
+are sound (candidates scored exactly) and useful (hold the query's true
+near neighbors at reasonable plane counts)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from watchman_spark.operators.similarity import (
+    as_double,
+    brute_force_topk,
+    cosine,
+    cosine_pairs_blocked,
+    lsh_bucket,
+    lsh_topk,
+)
+
+DIM = 8
+
+
+def _vec(seed: int) -> list[float]:
+    # deterministic pseudo-vectors on the unit sphere
+    raw = [math.sin(seed * 31 + d * 7) for d in range(DIM)]
+    n = math.sqrt(sum(x * x for x in raw))
+    return [x / n for x in raw]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [(i, _vec(i), i % 3) for i in range(60)]
+    # plant a near-duplicate of vec 0 as id 999
+    near = [v + 1e-4 for v in _vec(0)]
+    rows.append((999, near, 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_cosine_expr(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], ["a", "b"])
+    out = df.select(F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()
+    assert out[0]["c"] == 0.0 and out[1]["c"] == 1.0
+
+
+def test_brute_force_finds_planted(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0).select(as_double(F.col("embedding")).alias("q"))
+    top = brute_force_topk(emb, q, k=3).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] == 0 and 999 in ids[:2]  # self then the planted near-dup
+
+
+def test_blocked_pairs_threshold(spark, emb):
+    pairs = cosine_pairs_blocked(emb, block_col="label", threshold=0.999).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 999) in found
+    assert all(r["cos_sim"] >= 0.999 for r in pairs)
+
+
+def test_lsh_bucket_deterministic_and_locality(spark, emb):
+    b = emb.select(
+        "vec_id", lsh_bucket(as_double(F.col("embedding")), DIM, n_planes=6).alias("bk")
+    )
+    twice = emb.select(
+        "vec_id", lsh_bucket(as_double(F.col("embedding")), DIM, n_planes=6).alias("bk")
+    )
+    assert {tuple(r) for r in b.collect()} == {tuple(r) for r in twice.collect()}
+    buckets = {r["vec_id"]: r["bk"] for r in b.collect()}
+    assert buckets[0] == buckets[999]  # near-identical vectors share buckets
+
+
+def test_lsh_topk_contains_near_dup(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    top = lsh_topk(emb, q, dim=DIM, k=5, n_planes=4).collect()
+    ids = [r["vec_id"] for r in top]
+    assert 0 in ids and 999 in ids
+    # scores are exact cosines (LSH only restricts candidates)
+    sims = {r["vec_id"]: r["cos_sim"] for r in top}
+    assert sims[999] >= 0.999

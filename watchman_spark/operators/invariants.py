@@ -1,0 +1,81 @@
+"""Pipeline invariant audits (BASELINE.json:6/14): routed-row equality,
+sink disjointness, and the per-turn text-equality digest under stable turn
+ordering. These are library operators (usable against any warehouse), not
+just test helpers — at 10^12 scale you run them as audit jobs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import SINKS, TRANSCRIPT_SCHEMA
+from ..sources.warehouse import ParquetWarehouse
+
+BASE_COLS = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+NULL_SENTINEL = "\x00NULL"
+
+
+def union_of_sinks(spark: SparkSession, wh: ParquetWarehouse, cols: list[str]) -> DataFrame:
+    out = None
+    for s in SINKS:
+        part = wh.read(spark, f"sink_{s}").select(cols)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def routed_row_equality(spark: SparkSession, wh: ParquetWarehouse) -> dict:
+    """O5 both ways: input EXCEPT ALL union(sinks) and the reverse must be
+    empty. Returns diff counts (0/0 == pass)."""
+    inp = wh.read(spark, "transcripts", schema=TRANSCRIPT_SCHEMA).select(BASE_COLS)
+    sinks = union_of_sinks(spark, wh, BASE_COLS)
+    return {
+        "missing_from_sinks": inp.exceptAll(sinks).count(),
+        "extra_in_sinks": sinks.exceptAll(inp).count(),
+    }
+
+
+def sinks_disjoint(spark: SparkSession, wh: ParquetWarehouse) -> bool:
+    """O6: no (conv_id, turn_idx) appears in two sinks."""
+    keys = union_of_sinks(spark, wh, ["conv_id", "turn_idx"])
+    return keys.distinct().count() == keys.count()
+
+
+def conv_digests(df: DataFrame) -> DataFrame:
+    """A8/U3: per-conversation sha256 over turn_idx-ordered texts — the
+    text-equality invariant's canonical form. Must match synth.conv_digest
+    byte-for-byte (same sentinel, same separator)."""
+
+    def digest(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        joined = "\x1f".join(
+            NULL_SENTINEL if t is None else t for t in pdf["text"]
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "digest": [hashlib.sha256(joined.encode("utf-8")).hexdigest()],
+                "n_turns": [len(pdf)],
+            }
+        )
+
+    return (
+        df.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandas(digest, "conv_id string, digest string, n_turns long")
+    )
+
+
+def text_equality_digests(
+    spark: SparkSession, wh: ParquetWarehouse, sample_convs: list[str] | None = None
+) -> dict[str, str]:
+    """Digest of union-of-sinks, optionally restricted to a conv sample.
+    Compare against the generator's golden digests or against digests of
+    the input table."""
+    df = union_of_sinks(spark, wh, ["conv_id", "turn_idx", "text"])
+    if sample_convs:
+        df = df.filter(F.col("conv_id").isin(sample_convs))
+    return {r["conv_id"]: r["digest"] for r in conv_digests(df).collect()}

@@ -45,12 +45,20 @@ def with_conv_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def ordered_by_turn(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
+def ordered_by_turn(
+    df: DataFrame, n_partitions: int | None = None, key: str = "conv_id"
+) -> DataFrame:
     """The ordering half of the text-equality invariant (BASELINE.json:6):
-    hash-partition by conv_id, sort each partition by (conv_id, turn_idx).
-    This is the pipeline's single explicit shuffle."""
+    hash-partition by conv_id (or its derived conv_bucket, which co-locates
+    whole conversations identically), sort each partition by
+    (conv_id, turn_idx). This is the pipeline's single explicit shuffle.
+
+    Always pass an explicit ``n_partitions`` in batch jobs: without it AQE
+    coalesces the post-shuffle stage to ~64MB partitions, which serializes
+    the downstream sort/write onto a handful of cores (measured 2-3x
+    slowdown at bench scale)."""
     parted = (
-        df.repartition(n_partitions, "conv_id") if n_partitions else df.repartition("conv_id")
+        df.repartition(n_partitions, key) if n_partitions else df.repartition(key)
     )
     return parted.sortWithinPartitions("conv_id", "turn_idx")
 

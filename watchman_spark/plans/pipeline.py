@@ -1,10 +1,23 @@
 """The batch pipeline: parse → enrich → route → aggregate (BASELINE.json:6).
 
 Composition of pure DataFrame→DataFrame stages (SURVEY.md §3.1). Physical
-shape at scale (the 10^12-turn argument, SURVEY.md §4): scan, parse,
-broadcast-enrich and route-tag are all map-side; the single all-to-all
-shuffle is the explicit conv_id repartition; the rollup's reduce is salted.
-That map-heaviness is what makes ≥0.8 N→4N scaling efficiency plausible.
+shape at scale (the 10^12-turn argument, SURVEY.md §4):
+
+- scan, parse, broadcast-enrich and route-tag are all map-side;
+- the single all-to-all exchange is the explicit conv_bucket repartition
+  (conv_bucket = pmod(xxhash64(conv_id), N) co-locates whole conversations,
+  so the turn-ordering invariant holds identically to conv_id partitioning
+  while aligning the shuffle with the sink tables' physical layout);
+- the fan-out is SINGLE-PASS: one partitionBy("sink", "conv_bucket") write,
+  after which each sink subtree is atomically committed to its own logical
+  table. No persist/cache of the wide pass — at 10^12 turns a cache is
+  impossible, and at bench scale the cache materialization measured slower
+  than simply writing once (the write IS the materialization);
+- aggregates are computed from the column-pruned read-back of the files
+  just written (counts/rollup touch 3-5 narrow columns, a tiny fraction of
+  the bytes), and the hot-key rollup is salted;
+- per-bucket lineage (rows, conv_id min/max) comes from parquet footer
+  statistics — no extra scan.
 
 Resume: work unit = conv_bucket; see sources/checkpoint.py for the commit
 protocol. Re-running a fully-committed warehouse is a no-op (idempotence).
@@ -12,18 +25,23 @@ protocol. Re-running a fully-committed warehouse is a no-op (idempotence).
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
+import uuid
+
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 from ..metrics import RunMetrics
-from ..operators.aggregate import conv_role_tool_rollup, per_sink_counts
+from ..operators.aggregate import conv_role_tool_rollup
 from ..operators.enrich import enrich
-from ..operators.parse import with_parsed
-from ..operators.route import ordered_by_turn, split_by_sink, with_conv_bucket, with_sink
-from ..schema import ROLE_DIM_SCHEMA, TOOL_DIM_SCHEMA, TRANSCRIPT_SCHEMA
+from ..operators.parse import flatten_parsed, with_parsed
+from ..operators.route import ordered_by_turn, with_conv_bucket, with_sink
+from ..schema import ROLE_DIM_SCHEMA, SINKS, TOOL_DIM_SCHEMA, TRANSCRIPT_SCHEMA
 from ..sources import checkpoint as ckpt
 from ..sources.warehouse import ParquetWarehouse
 
@@ -33,13 +51,14 @@ def build_routed(
     cfg: PipelineConfig,
     role_dim: DataFrame | None = None,
     tool_dim: DataFrame | None = None,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """The logical plan shared by batch, entry() and streaming paths:
     parse → enrich → sink-tag → bucket → conv-ordered. Source-agnostic."""
     parsed = with_parsed(df, cfg.patterns, engine=cfg.parse_engine)
     enriched = enrich(parsed, role_dim, tool_dim)
     tagged = with_conv_bucket(with_sink(enriched), cfg.n_buckets)
-    return ordered_by_turn(tagged)
+    return ordered_by_turn(tagged, n_partitions or cfg.n_buckets, key="conv_bucket")
 
 
 def run_pipeline(
@@ -54,6 +73,13 @@ def run_pipeline(
     t0 = time.time()
     wh = ParquetWarehouse(cfg.warehouse)
     m = RunMetrics(run_id=cfg.run_id)
+    stages: dict[str, float] = {}
+    _last = [t0]
+
+    def mark(name: str) -> None:
+        now = time.time()
+        stages[name] = round(now - _last[0], 3)
+        _last[0] = now
 
     # 0. crash recovery: prune data commits that never reached the ledger
     ckpt.reconcile(spark, wh)
@@ -70,6 +96,8 @@ def run_pipeline(
     #    (On Iceberg the input would be bucket-partitioned so this prunes
     #    at the scan; the parquet fallback filters post-scan.)
     todo = ckpt.pending_buckets(spark, wh, cfg.n_buckets)
+    if cfg.max_buckets_per_run is not None:
+        todo = todo[: cfg.max_buckets_per_run]
     m.buckets = todo
     if not todo:
         m.finish()
@@ -81,39 +109,110 @@ def run_pipeline(
         work = work.filter(F.col("conv_bucket").isin(todo))
     work = work.drop("conv_bucket")
 
-    # 3-6. parse → enrich → route → order; persist ONCE for all sinks
-    routed, sinks = split_by_sink(build_routed(work, cfg, role_dim, tool_dim))
-    try:
-        lineage = {"run_id": cfg.run_id, "buckets": todo}
-        flat_cols = [c for c in routed.columns]  # keep struct; flatten per sink below
-        for sink_name, sdf in sinks.items():
-            out = sdf.select(
-                *[c for c in flat_cols if c != "parsed"],
-                F.col("parsed.*"),
-                F.to_date("ts").alias("dt"),
-            )
-            meta = wh.write_append(
-                out, f"sink_{sink_name}", partition_by=["conv_bucket", "dt"], lineage=lineage
-            )
-            m.rows_per_sink[sink_name] = meta["rows"]
-        m.rows_in = sum(m.rows_per_sink.values())
-        # lines that matched no grok pattern (non-null text, null captures)
-        m.parse_miss = routed.filter(
-            (F.col("sink") == "conversational") & F.col("text").isNotNull()
-        ).count()
+    # 3-6. parse → enrich → route → order → ONE partitioned write.
+    # The sort is write-aligned: (sink, conv_bucket) prefix satisfies the
+    # dynamic-partition writer's required ordering (so it streams instead
+    # of inserting a second full sort), and the (conv_id, turn_idx) suffix
+    # GUARANTEES turn order inside every sink data file — the ordering
+    # invariant is a physical property of the files, not a read-time sort.
+    parsed = with_parsed(work, cfg.patterns, engine=cfg.parse_engine)
+    tagged = with_conv_bucket(with_sink(enrich(parsed, role_dim, tool_dim)), cfg.n_buckets)
+    routed = (
+        flatten_parsed(tagged)
+        .repartition(cfg.n_buckets, "conv_bucket")
+        .sortWithinPartitions("sink", "conv_bucket", "conv_id", "turn_idx")
+        .withColumn("dt", F.to_date("ts"))
+        .withColumn("run_id", F.lit(cfg.run_id))
+    )
+    staging = os.path.join(cfg.warehouse, "_staging", uuid.uuid4().hex)
+    mark("plan_setup")
+    routed.write.partitionBy("sink", "conv_bucket").parquet(staging)
+    mark("write")
 
-        # 7. aggregates (decomposable partials; readers re-aggregate)
-        wh.write_append(per_sink_counts(routed), "agg_sink_counts", lineage=lineage)
-        wh.write_append(
-            conv_role_tool_rollup(routed, salt_n=cfg.salt), "agg_conv_role_tool", lineage=lineage
+    # lineage from parquet footers — no extra scan
+    frag_stats = wh.dir_stats(staging, stat_col="conv_id")
+    sink_rows: dict[str, int] = dict.fromkeys(SINKS, 0)
+    bucket_stats: dict[int, dict] = {}
+    for fs in frag_stats:
+        parts = dict(
+            p.split("=", 1) for p in fs["path"].split(os.sep) if "=" in p
         )
+        sink = parts.get("sink")
+        bucket = int(parts.get("conv_bucket", -1))
+        sink_rows[sink] = sink_rows.get(sink, 0) + fs["rows"]
+        b = bucket_stats.setdefault(bucket, {"rows": 0, "min": None, "max": None})
+        b["rows"] += fs["rows"]
+        if fs["min"] is not None:
+            b["min"] = fs["min"] if b["min"] is None else min(b["min"], fs["min"])
+            b["max"] = fs["max"] if b["max"] is None else max(b["max"], fs["max"])
 
-        # 8. ledger LAST — the transaction commit point
-        wall_ms = int((time.time() - t0) * 1000)
-        wh.write_append(ckpt.ledger_rows(routed, cfg.run_id, wall_ms), ckpt.LEDGER_TABLE)
-    finally:
-        routed.unpersist()
+    mark("footer_stats")
+    lineage = {"run_id": cfg.run_id, "buckets": todo}
+    m.rows_per_sink = {s: sink_rows.get(s, 0) for s in SINKS}
+    m.rows_in = sum(m.rows_per_sink.values())
 
+    # 7. aggregates from the column-pruned read-back of the STAGED tree —
+    #    ONE schema-provided read (no footer inference; 'sink' and
+    #    'conv_bucket' come back as hive partition columns). One Spark job
+    #    computes distinct-convs + parse-miss per sink (tiny result ->
+    #    Arrow-side commit); one computes + writes the salted rollup
+    #    (large result -> distributed write). 'n' per sink comes from the
+    #    footer stats — already exact, no scan.
+    if m.rows_in > 0:
+        agg_in = spark.read.schema(routed.schema).parquet(staging)
+        per_sink = {
+            r["sink"]: r
+            for r in agg_in.groupBy("sink")
+            .agg(
+                F.countDistinct("conv_id").alias("dc"),
+                F.count("text").alias("n_text"),
+            )
+            .collect()
+        }
+        m.parse_miss = (
+            per_sink["conversational"]["n_text"] if "conversational" in per_sink else 0
+        )
+        counts_tbl = pa.table(
+            {
+                "sink": pa.array(list(per_sink), pa.string()),
+                "n": pa.array([sink_rows[s] for s in per_sink], pa.int64()),
+                "distinct_convs": pa.array(
+                    [per_sink[s]["dc"] for s in per_sink], pa.int64()
+                ),
+            }
+        )
+        mark("agg_counts")
+        wh.write_append_arrow("agg_sink_counts", counts_tbl, lineage=lineage)
+        wh.write_append(
+            conv_role_tool_rollup(agg_in, salt_n=cfg.salt), "agg_conv_role_tool",
+            lineage=lineage,
+        )
+        mark("agg_rollup")
+
+    # 8. atomic per-sink commits of the staged subtrees (the data was
+    #    written exactly once; committing is a rename)
+    for sink in SINKS:
+        subdir = os.path.join(staging, f"sink={sink}")
+        if os.path.isdir(subdir):
+            wh.commit_existing(
+                f"sink_{sink}",
+                subdir,
+                rows=sink_rows.get(sink, 0),
+                partition_by=["conv_bucket"],
+                lineage=lineage,
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    mark("commits")
+
+    # 9. ledger LAST — the transaction commit point (driver-side Arrow
+    #    rows: one per bucket, derived from footer stats — no Spark job)
+    wall_ms = int((time.time() - t0) * 1000)
+    wh.write_append_arrow(
+        ckpt.LEDGER_TABLE, ckpt.ledger_arrow(cfg.run_id, bucket_stats, todo, wall_ms)
+    )
+
+    mark("ledger")
+    m.stages = stages
     m.finish()
     if metrics_path:
         m.write(metrics_path)

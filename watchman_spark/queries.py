@@ -197,6 +197,24 @@ def join_sortmerge(spark, sf_dir):
 
 
 @register(
+    "join_shuffle_hash",
+    """SELECT c.c_mktsegment, COUNT(*) AS n,
+              round(SUM(o.o_totalprice), 2) AS sum_price
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       GROUP BY c.c_mktsegment""",
+)
+def join_shuffle_hash(spark, sf_dir):
+    # J3: hash variant — no sort on either side; right for moderate
+    # per-partition build sides where sort-merge's sorts are wasted work
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    joined = c.hint("shuffle_hash").join(o, c.c_custkey == o.o_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+    )
+
+
+@register(
     "join_semi",
     """SELECT c_custkey FROM customer c
        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
@@ -374,6 +392,19 @@ def agg_rollup_hier(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
         )
+    )
+
+
+@register(
+    "agg_cube",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def agg_cube(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -604,3 +635,4 @@ def oracle_sql() -> dict[str, str]:
 # readable; importing them populates REGISTRY via @register.
 from . import queries_fn  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
+from . import queries_wh  # noqa: E402,F401

@@ -59,14 +59,19 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-_SHINGLE_CTE = """
-  docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM {base}),
+# word-8-gram shingles: the synthetic documents draw from a ~40-word
+# vocabulary, so short shingles collide pathologically (the candidate
+# join fans out quadratically); 8-grams keep candidate generation
+# near-linear while planted duplicates still score jaccard 1.0
+_SHINGLE_K = 8
+_SHINGLE_CTE = f"""
+  docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM {{base}}),
   sets AS (
     SELECT DISTINCT doc_id, shingle FROM (
       SELECT doc_id,
-             unnest(list_distinct([array_to_string(w[i:i+4], ' ')
-                    for i in generate_series(1, len(w)-4)])) AS shingle
-      FROM docs WHERE len(w) >= 5)),
+             unnest(list_distinct([array_to_string(w[i:i+{_SHINGLE_K - 1}], ' ')
+                    for i in generate_series(1, len(w)-{_SHINGLE_K - 1})])) AS shingle
+      FROM docs WHERE len(w) >= {_SHINGLE_K})),
   sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sets GROUP BY doc_id)
 """
 
@@ -83,19 +88,23 @@ _SHINGLE_CTE = """
         FROM shared
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.6""",
+        WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.8""",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
-        _planted(spark, sf_dir), id_col="doc_id", text_col="text", k=5, threshold=0.6
+        _planted(spark, sf_dir), id_col="doc_id", text_col="text",
+        k=_SHINGLE_K, threshold=0.8,
     ).select(F.col("id_a"), F.col("id_b"), "jaccard")
 
 
 @register("dedup_minhash_lsh", None)  # rows-only: xxhash64 signatures
 def dedup_minhash_lsh(spark, sf_dir):
+    # bands=4 -> 8 rows/band: a candidate needs 8 equal minhashes, which
+    # keeps the bucket join near-linear on this self-similar corpus;
+    # exact-duplicate pairs always collide in every band
     return minhash_lsh_pairs(
         _planted(spark, sf_dir), id_col="doc_id", text_col="text",
-        k=5, n_hashes=32, bands=8, threshold=0.6,
+        k=_SHINGLE_K, n_hashes=32, bands=4, threshold=0.8,
     )
 
 

@@ -1,0 +1,89 @@
+"""Warehouse-semantics queries: snapshot reads, incremental scans, and the
+mapInPandas partition-ledger surface (SURVEY.md §2.1 S2, §2.9 U5).
+
+These exercise the commit-log backend (the Iceberg-semantics fallback), so
+they build a small deterministic warehouse under /tmp on first use —
+derived purely from the driver's events table, cached per sf_dir."""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from .queries import register, t
+from .sources.warehouse import ParquetWarehouse
+
+
+def _wh(spark, sf_dir: str) -> ParquetWarehouse:
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"/tmp/watchman_whq_{tag}"
+    wh = ParquetWarehouse(root)
+    if not wh.commits("events_snap"):
+        ev = t(spark, sf_dir, "events")
+        # two commits: even event_ids, then odd — snapshot 1 sees half
+        wh.write_append(ev.filter(F.col("event_id") % 2 == 0), "events_snap")
+        wh.write_append(ev.filter(F.col("event_id") % 2 == 1), "events_snap")
+    return wh
+
+
+@register(
+    "scan_snapshot",
+    "SELECT event_id, event_type FROM events WHERE event_id % 2 = 0",
+)
+def scan_snapshot(spark, sf_dir):
+    # snapshot 1 = the first commit only (time travel)
+    wh = _wh(spark, sf_dir)
+    return wh.read(spark, "events_snap", snapshot=1).select("event_id", "event_type")
+
+
+@register(
+    "scan_incremental",
+    "SELECT event_id, event_type FROM events WHERE event_id % 2 = 1",
+)
+def scan_incremental(spark, sf_dir):
+    # incremental read: commits in (1, 2] — exactly the second append
+    wh = _wh(spark, sf_dir)
+    return wh.read(spark, "events_snap", snapshot=2, from_snapshot=1).select(
+        "event_id", "event_type"
+    )
+
+
+@register(
+    "scan_snapshot_full",
+    "SELECT event_id, event_type FROM events",
+)
+def scan_snapshot_full(spark, sf_dir):
+    # latest snapshot = union of all commits == the source table
+    wh = _wh(spark, sf_dir)
+    return wh.read(spark, "events_snap").select("event_id", "event_type")
+
+
+@register("udf_partition_ledger", None)  # rows-only: partition ids are physical
+def udf_partition_ledger(spark, sf_dir):
+    """U5: per-partition lineage rows via mapInPandas + TaskContext — the
+    in-flight counterpart of the footer-stats ledger."""
+    from pyspark import TaskContext
+
+    ev = t(spark, sf_dir, "events").repartition(8, "user_id")
+
+    def ledger(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        rows = 0
+        lo = hi = None
+        for pdf in batches:
+            rows += len(pdf)
+            if len(pdf):
+                mn, mx = int(pdf["event_id"].min()), int(pdf["event_id"].max())
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+        yield pd.DataFrame(
+            {"partition_id": [pid], "rows": [rows], "min_id": [lo], "max_id": [hi]}
+        )
+
+    return ev.mapInPandas(
+        ledger, "partition_id int, rows long, min_id long, max_id long"
+    ).filter(F.col("rows") > 0)

@@ -31,6 +31,11 @@ _DEFAULTS = {
     # side-effecting sink writes would break exact per-sink counts
     # (BASELINE.json:2); idempotence comes from the commit log instead.
     "spark.speculation": "false",
+    # committer v2: task commits move files directly, job commit is O(1)
+    # instead of a serial driver-side rename pass. Safe here because data
+    # visibility is governed by the warehouse commit log, not by the
+    # presence of files (SURVEY.md §1.4).
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
     "spark.driver.memory": os.environ.get("WATCHMAN_DRIVER_MEM", "8g"),
 }
 

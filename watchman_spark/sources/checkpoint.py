@@ -17,10 +17,9 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import SparkSession
 
-from ..schema import LEDGER_SCHEMA, SINKS
+from ..schema import SINKS
 from .warehouse import ParquetWarehouse
 
 LEDGER_TABLE = "ledger"
@@ -28,8 +27,12 @@ DATA_TABLES = tuple(f"sink_{s}" for s in SINKS) + ("agg_sink_counts", "agg_conv_
 
 
 def committed_buckets(spark: SparkSession, wh: ParquetWarehouse) -> set[int]:
-    led = wh.read(spark, LEDGER_TABLE, schema=LEDGER_SCHEMA)
-    return {r.bucket for r in led.select("bucket").distinct().collect()}
+    # ledger is metadata-sized (n_buckets rows/run) — read driver-side via
+    # Arrow; a Spark job here would be pure serial overhead on every run
+    led = wh.read_arrow(LEDGER_TABLE)
+    if led is None:
+        return set()
+    return set(led.column("bucket").to_pylist())
 
 
 def pending_buckets(spark: SparkSession, wh: ParquetWarehouse, n_buckets: int) -> list[int]:
@@ -51,24 +54,29 @@ def reconcile(spark: SparkSession, wh: ParquetWarehouse) -> list[tuple[str, int]
     return pruned
 
 
-def ledger_rows(routed: DataFrame, run_id: str, wall_ms: int) -> DataFrame:
-    """Per-bucket lineage rows from the routed pass: row count + conv_id
-    range + wall time (FIXTURES.md §5). Computed as a narrow aggregate over
-    the already-persisted routed DataFrame."""
-    return (
-        routed.groupBy("conv_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.min("conv_id").alias("min_conv"),
-            F.max("conv_id").alias("max_conv"),
-        )
-        .select(
-            F.lit(run_id).alias("run_id"),
-            F.col("conv_bucket").alias("bucket"),
-            "rows",
-            "min_conv",
-            "max_conv",
-            F.lit(wall_ms).cast("long").alias("wall_ms"),
-            F.lit(dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)).alias("committed_at"),
-        )
+def ledger_arrow(
+    run_id: str, bucket_stats: dict[int, dict], todo: list[int], wall_ms: int
+):
+    """Per-bucket lineage rows (FIXTURES.md §5) as a driver-side Arrow
+    table: stats come from parquet footers, so no Spark job is needed.
+    Buckets in ``todo`` with no data still get a rows=0 row (processed)."""
+    import pyarrow as pa
+
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    seen = set(bucket_stats)
+    rows = [
+        (run_id, b, s["rows"], s["min"], s["max"], wall_ms, now)
+        for b, s in sorted(bucket_stats.items())
+    ] + [(run_id, b, 0, None, None, wall_ms, now) for b in todo if b not in seen]
+    cols = list(zip(*rows)) if rows else [[]] * 7
+    return pa.table(
+        {
+            "run_id": pa.array(cols[0], pa.string()),
+            "bucket": pa.array(cols[1], pa.int32()),
+            "rows": pa.array(cols[2], pa.int64()),
+            "min_conv": pa.array(cols[3], pa.string()),
+            "max_conv": pa.array(cols[4], pa.string()),
+            "wall_ms": pa.array(cols[5], pa.int64()),
+            "committed_at": pa.array(cols[6], pa.timestamp("us")),
+        }
     )

@@ -22,7 +22,9 @@ import os
 import time
 import uuid
 
+import pyarrow as pa
 import pyarrow.dataset as pa_ds
+import pyarrow.parquet as pa_pq
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -103,10 +105,100 @@ class ParquetWarehouse:
             },
         )
 
+    def commit_existing(
+        self,
+        table: str,
+        data_dir: str,
+        rows: int | None = None,
+        partition_by: list[str] | None = None,
+        lineage: dict | None = None,
+    ) -> dict:
+        """Atomically commit an already-staged directory (single-pass
+        multi-sink fan-out: one partitionBy("sink", ...) write produces one
+        subtree per sink; each subtree is moved under its sink table and
+        committed here — the data is written exactly once)."""
+        if not data_dir.startswith(self.root):
+            # same-filesystem move into the table's data area
+            raise ValueError("staged dir must live under the warehouse root")
+        dest = os.path.join(self._tdir(table), "data", uuid.uuid4().hex)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(data_dir, dest)
+        if rows is None:
+            rows = self._count_rows(dest)
+        return self._write_commit(
+            table,
+            {
+                "data_dir": os.path.relpath(dest, self.root),
+                "rows": rows,
+                "partition_by": partition_by or [],
+                "lineage": lineage or {},
+            },
+        )
+
+    def write_append_arrow(
+        self, table: str, data: pa.Table, lineage: dict | None = None
+    ) -> dict:
+        """Driver-side append of a SMALL Arrow table (ledger rows, tiny
+        aggregate partials) — no Spark job, same commit protocol. Every
+        Spark job carries ~0.2-0.5s of scheduling overhead; metadata-sized
+        writes through the JVM are pure serial (Amdahl) cost."""
+        token = uuid.uuid4().hex
+        data_dir = os.path.join(self._tdir(table), "data", token)
+        os.makedirs(data_dir, exist_ok=True)
+        pa_pq.write_table(data, os.path.join(data_dir, "part-0.parquet"))
+        return self._write_commit(
+            table,
+            {
+                "data_dir": os.path.relpath(data_dir, self.root),
+                "rows": data.num_rows,
+                "partition_by": [],
+                "lineage": lineage or {},
+            },
+        )
+
+    def read_arrow(self, table: str) -> pa.Table | None:
+        """Driver-side snapshot read (small, unpartitioned tables only —
+        the ledger and tiny aggregate partials). None if empty."""
+        cs = self.commits(table)
+        if not cs:
+            return None
+        files: list[str] = []
+        for c in cs:
+            d = os.path.join(self.root, c["data_dir"])
+            for base, _dirs, names in os.walk(d):
+                files += [
+                    os.path.join(base, n) for n in names if n.endswith(".parquet")
+                ]
+        if not files:
+            return None
+        return pa_ds.dataset(files, format="parquet").to_table()
+
     @staticmethod
     def _count_rows(data_dir: str) -> int:
         ds = pa_ds.dataset(data_dir, format="parquet", partitioning="hive")
         return sum(f.metadata.num_rows for f in ds.get_fragments())
+
+    @staticmethod
+    def dir_stats(data_dir: str, stat_col: str | None = None) -> list[dict]:
+        """Per-fragment footer stats: hive partition path, num_rows, and
+        min/max of ``stat_col`` from row-group statistics — lineage without
+        a second scan."""
+        ds = pa_ds.dataset(data_dir, format="parquet", partitioning="hive")
+        out = []
+        for frag in ds.get_fragments():
+            rel = os.path.relpath(frag.path, data_dir)
+            md = frag.metadata
+            lo = hi = None
+            if stat_col is not None:
+                idx = md.schema.to_arrow_schema().get_field_index(stat_col)
+                if idx >= 0:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is not None and st.has_min_max:
+                            lo = st.min if lo is None else min(lo, st.min)
+                            hi = st.max if hi is None else max(hi, st.max)
+            out.append({"path": rel, "rows": md.num_rows, "min": lo, "max": hi})
+        return out
 
     def rollback_commit(self, table: str, commit_id: int) -> None:
         """Remove a commit from the log (its data dir becomes invisible).
@@ -137,10 +229,20 @@ class ParquetWarehouse:
             if schema is None:
                 raise ValueError(f"table {table!r} empty and no schema given")
             return spark.createDataFrame([], schema=schema)
+        partitioned = any(c["partition_by"] for c in cs)
         reader = spark.read
-        if schema is not None and not any(c["partition_by"] for c in cs):
+        if schema is not None and not partitioned:
             reader = reader.schema(schema)
-        return reader.parquet(*dirs)
+        if not partitioned:
+            return reader.parquet(*dirs)
+        # hive-partitioned commits: each commit dir is its own partition
+        # root — read per-dir and union (a single multi-root read trips
+        # Spark's CONFLICTING_DIRECTORY_STRUCTURES discovery)
+        out = None
+        for d in dirs:
+            part = spark.read.parquet(d)
+            out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+        return out
 
     def table_rows(self, table: str) -> int:
         """Total committed rows, from commit metadata only (no scan)."""
