@@ -21,7 +21,12 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+# default to HALF the advertised vCPUs: this VM exposes 32 vCPUs over ~16
+# physical cores, and the Arrow parse path adds one Python worker per task
+# thread — local[16] + 16 workers already saturates the machine, while
+# local[32] oversubscribes 2x and measures SLOWER (see BENCH/BASELINE.md)
+_default_cpus = max(4, (os.cpu_count() or 8) // 2)
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", _default_cpus))
 
 # deterministic bench-scale transcripts (~9.4M turns, zipfian skew: hot
 # conversation 200k turns vs median ~7), generated once onto tmpfs and
@@ -58,7 +63,9 @@ def get_session(cpus: int):
             "spark.driver.extraJavaOptions": "-Dlog4j2.level=error",
             # shuffle/spill on tmpfs: the sandbox virtio disk has wildly
             # noisy writeback latency that otherwise dominates measurements
-            "spark.local.dir": os.environ.get("WATCHMAN_LOCAL_DIR", "/dev/shm/spark-local"),
+            "spark.local.dir": os.environ.get(
+                "WATCHMAN_LOCAL_DIR", os.path.join(_fast_dir(), "spark-local")
+            ),
             # local mode: driver JVM == executor; size the heap for the
             # machine (128 GiB), not the 8g library default
             "spark.driver.memory": os.environ.get("WATCHMAN_DRIVER_MEM", "48g"),
@@ -66,12 +73,18 @@ def get_session(cpus: int):
     )
 
 
+def _fast_dir() -> str:
+    import tempfile
+
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
 def bench_transcripts_path() -> str:
     # input on tmpfs: this VM reclaims page cache aggressively (balloon),
     # so /tmp-resident input would be re-read from the episodically-
     # stalling virtio disk on every run
     tag = "_".join(f"{k}{v}" for k, v in sorted(BENCH_SYNTH.items()))
-    base = os.environ.get("WATCHMAN_BENCH_DIR", "/dev/shm")
+    base = os.environ.get("WATCHMAN_BENCH_DIR", _fast_dir())
     return f"{base}/watchman_bench_transcripts_{tag}"
 
 
@@ -103,7 +116,7 @@ def run_transcript_pipeline(spark, path: str) -> tuple[int, float]:
 
     # tmpfs warehouse: the sandbox virtio disk's writeback noise otherwise
     # dominates (and penalizes higher thread counts disproportionately)
-    bench_dir = os.environ.get("WATCHMAN_BENCH_DIR", "/dev/shm")
+    bench_dir = os.environ.get("WATCHMAN_BENCH_DIR", _fast_dir())
     wh_root = tempfile.mkdtemp(prefix="watchman_bench_wh_", dir=bench_dir)
     try:
         cfg = PipelineConfig(warehouse=wh_root, n_buckets=32, salt=16, run_id="bench")
@@ -185,7 +198,9 @@ def main() -> None:
     # JIT-dominated and would misreport steady-state throughput
     tpath = ensure_bench_transcripts(spark)
     run_transcript_pipeline(spark, tpath)
-    t_rows, t_secs = run_transcript_pipeline(spark, tpath)
+    runs = [run_transcript_pipeline(spark, tpath) for _ in range(2)]
+    t_rows = runs[0][0]
+    t_secs = min(s for _, s in runs)
     timings["transcripts_pipeline"] = round(t_secs, 3)
 
     for name in HEADLINE:

@@ -41,3 +41,36 @@ def test_text_equality_digests_match_golden(spark, wh):
     sample = list(golden["conv_digests"])
     got = inv.text_equality_digests(spark, wh, sample_convs=sample)
     assert got == golden["conv_digests"]
+
+
+def test_turn_order_is_physical_in_files(wh):
+    """The ordering invariant is a property of the written files, not a
+    read-time sort: scanning any sink data file RAW (pyarrow, no Spark, no
+    ordering) must yield turn_idx already sorted within each conv_id run.
+    Guards the write-aligned sortWithinPartitions against regressions (the
+    dynamic-partition writer would otherwise re-sort by partition columns
+    only, destroying turn order)."""
+    import os
+
+    import pyarrow.dataset as pa_ds
+
+    checked_files = 0
+    for c in wh.commits("sink_conversational"):
+        d = os.path.join(wh.root, c["data_dir"])
+        ds = pa_ds.dataset(d, format="parquet", partitioning="hive")
+        for frag in ds.get_fragments():
+            tbl = frag.to_table(columns=["conv_id", "turn_idx"])
+            convs = tbl.column("conv_id").to_pylist()
+            idxs = tbl.column("turn_idx").to_pylist()
+            last: dict[str, int] = {}
+            prev_conv = None
+            for cid, ti in zip(convs, idxs):
+                if cid == prev_conv:
+                    assert ti > last[cid], (frag.path, cid, ti, last[cid])
+                else:
+                    # conv runs must be contiguous (file sorted by conv_id)
+                    assert cid not in last, (frag.path, cid, "non-contiguous")
+                last[cid] = ti
+                prev_conv = cid
+            checked_files += 1
+    assert checked_files > 0

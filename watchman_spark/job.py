@@ -85,6 +85,16 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    from .sql import sql as run_sql
+
+    spark = _session(args)
+    wh = ParquetWarehouse(args.warehouse)
+    rows = run_sql(spark, wh, args.query).limit(args.limit).collect()
+    print(json.dumps([r.asDict() for r in rows], default=str, indent=1))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="watchman-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -109,6 +119,12 @@ def main(argv: list[str] | None = None) -> int:
     pst = sub.add_parser("status", help="warehouse snapshot/ledger status")
     _add_common(pst)
     pst.set_defaults(fn=cmd_status)
+
+    pq = sub.add_parser("sql", help="run Spark SQL over the warehouse tables")
+    _add_common(pq)
+    pq.add_argument("--query", required=True)
+    pq.add_argument("--limit", type=int, default=100)
+    pq.set_defaults(fn=cmd_sql)
 
     args = ap.parse_args(argv)
     return args.fn(args)
