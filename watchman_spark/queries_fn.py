@@ -60,7 +60,15 @@ def fn_datetime(spark, sf_dir):
         F.to_date("ts").cast("string").alias("dt"),
         F.hour("ts").cast("long").alias("hr"),
         F.date_trunc("hour", "ts").alias("ts_hour"),
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        # component-based epoch: parquet timestamps are TIMESTAMP_NTZ, and
+        # unix_micros(cast(ntz as timestamp)) would shift by the session
+        # timezone — extract() components are NTZ-stable in ANY session
+        (
+            F.unix_date(F.to_date("ts")).cast("long") * 86_400_000_000
+            + F.hour("ts").cast("long") * 3_600_000_000
+            + F.minute("ts").cast("long") * 60_000_000
+            + (F.expr("extract(second FROM ts)") * 1_000_000).cast("long")
+        ).alias("ts_us"),
         (F.year("ts").cast("long") * 100 + F.month("ts").cast("long")).alias("yyyymm"),
     )
 
