@@ -228,12 +228,14 @@ def main() -> None:
     )
 
 
-def _interleaved_pair(a: int, b: int, cycles: int = 3) -> dict:
+def _interleaved_pair(a: int, b: int, cycles: int | None = None) -> dict:
     """Measure a vs b threads INTERLEAVED in one process: the sandbox
     host's effective capacity drifts over minutes, so sequential per-level
     measurements compare different 'weather'. Restarting the SparkContext
     with a new master keeps the JVM (and JIT) warm; each cycle yields one
     adjacent (a, b) timing pair; efficiency = median of per-cycle ratios."""
+    if cycles is None:
+        cycles = int(os.environ.get("WATCHMAN_SCALING_CYCLES", "3"))
     path = None
     e2e: dict[int, list[float]] = {a: [], b: []}
     mponly: dict[int, list[float]] = {a: [], b: []}

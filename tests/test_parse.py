@@ -60,6 +60,22 @@ def test_parsed_struct_schema():
     ]
 
 
+@pytest.mark.parametrize("engine", ["jvm", "pandas"])
+def test_prefilter_equivalent(base, engine):
+    """Literal prefilters are a pure optimization: identical results."""
+    from dataclasses import replace
+
+    from watchman_spark.config import DEFAULT_PATTERNS
+
+    pref = (
+        replace(DEFAULT_PATTERNS[0], prefilter="[tool:"),
+        replace(DEFAULT_PATTERNS[1], prefilter="ERROR E"),
+    )
+    a = flatten_parsed(with_parsed(base, DEFAULT_PATTERNS, engine=engine)).orderBy("turn_idx")
+    b = flatten_parsed(with_parsed(base, pref, engine=engine)).orderBy("turn_idx")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
 def test_parse_pushdown_stays_jvm(base):
     """JVM engine must not introduce any Python boundary in the plan."""
     plan = with_parsed(base, engine="jvm")._jdf.queryExecution().executedPlan().toString()

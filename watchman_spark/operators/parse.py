@@ -33,8 +33,14 @@ def _jvm_parsed_col(patterns: tuple[GrokPattern, ...], text_col: str) -> Column:
     """Build the parsed struct from built-in expressions (engine="jvm")."""
     schema = parsed_struct(patterns)
     text = F.col(text_col)
-    # Pre-compute one match flag per pattern so each rlike appears once.
-    match_flags = {p.name: text.isNotNull() & text.rlike(p.java_regex) for p in patterns}
+    # Pre-compute one match flag per pattern so each rlike appears once;
+    # the literal prefilter short-circuits the regex for non-matching rows.
+    match_flags = {}
+    for p in patterns:
+        flag = text.isNotNull()
+        if p.prefilter:
+            flag = flag & text.contains(p.prefilter)
+        match_flags[p.name] = flag & text.rlike(p.java_regex)
     fields: list[Column] = []
     for field in schema.fields:
         # first pattern that declares this group and matches wins
@@ -64,14 +70,19 @@ def _pandas_parsed_udf(patterns: tuple[GrokPattern, ...]):
     schema = parsed_struct(patterns)
     int_fields = {f.name for f in schema.fields if isinstance(f.dataType, IntegerType)}
     field_order = [f.name for f in schema.fields]
-    pats = [(p.compiled(), p.groups) for p in patterns]
+    pats = [(p.compiled(), p.groups, p.prefilter) for p in patterns]
 
     @pandas_udf(returnType=schema)
     def grok(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for s in batches:
             out = pd.DataFrame(index=s.index)
-            for compiled, groups in pats:
-                ext = s.str.extract(compiled)
+            for compiled, groups, prefilter in pats:
+                if prefilter is not None:
+                    # cheap literal gate: regex-extract only candidate rows
+                    mask = s.str.contains(prefilter, regex=False, na=False)
+                    ext = s[mask].str.extract(compiled).reindex(s.index)
+                else:
+                    ext = s.str.extract(compiled)
                 for g in groups:
                     if g in out.columns:
                         out[g] = out[g].where(out[g].notna(), ext[g])
