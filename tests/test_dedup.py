@@ -92,6 +92,56 @@ def test_simhash_identical_and_near(spark, docs):
     assert pairs[(0, 100)] == 0
 
 
+def test_df_cap_bounds_hot_shingle_fanout(spark):
+    """A stop-shingle shared by EVERY doc must not connect everything: with
+    max_df, the hot shingle is dropped before the self-join, the candidate
+    pair count collapses from O(n²) to the true pairs, and true-pair recall
+    is unchanged (the planted duplicate still scores jaccard 1.0)."""
+    rows = [
+        (i, f"common stop words unique{i} token{i} extra{i} tail{i}") for i in range(200)
+    ]
+    rows.append((1007, rows[7][1]))  # exact duplicate of doc 7
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # candidate fan-out, observed via threshold≈0: every pair sharing >=1
+    # shingle survives. Uncapped, the hot 3-gram links all 201 docs.
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.01).count()
+    assert uncapped == 201 * 200 // 2
+    capped_all = ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.01, max_df=10
+    )
+    assert capped_all.count() == 1  # only the true pair remains a candidate
+
+    # recall: the planted duplicate is still found at full confidence
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.8, max_df=10
+        ).collect()
+    }
+    assert pairs == {(7, 1007): 1.0}
+
+
+def test_minhash_bucket_cap_keeps_recall(spark):
+    """max_bucket drops pathological band buckets (a 50-clone cluster) while
+    normal duplicate pairs keep full recall through their own small buckets."""
+    base = [
+        (i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7} filler{i} more{i} words{i}")
+        for i in range(40)
+    ]
+    rows = base + [(i + 1000, t) for i, t in base]
+    # 50 clones of one hot text: every band bucket they form has 50 members
+    rows += [(5000 + j, "hot hot hot cluster of identical clones forever") for j in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = minhash_lsh_pairs(
+        df, "doc_id", "text", k=3, n_hashes=16, bands=8, threshold=0.99, max_bucket=10
+    )
+    found = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    for i, _ in base:
+        assert (i, i + 1000) in found  # true pairs: unchanged recall
+    assert not any(a >= 5000 for a, _ in found)  # hot cluster capped out
+
+
 def test_lsh_bands_guarantee(spark):
     """A pair with >= 1 identical band slice must be a candidate: verify via
     duplicated docs at larger scale (every doc duplicated)."""

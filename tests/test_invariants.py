@@ -43,6 +43,27 @@ def test_text_equality_digests_match_golden(spark, wh):
     assert got == golden["conv_digests"]
 
 
+def test_text_equality_audit_distributed(spark, wh):
+    """The scale-safe audit: digests compared via a distributed full-outer
+    join — only three counters ever reach the driver (no per-conversation
+    collect). All-zero on a correctly routed warehouse."""
+    assert inv.text_equality_audit(spark, wh) == {
+        "missing": 0,
+        "extra": 0,
+        "mismatched": 0,
+    }
+
+
+def test_digest_mismatches_counts(spark):
+    a = spark.createDataFrame(
+        [("c1", "d1"), ("c2", "dX"), ("c3", "d3")], ["conv_id", "digest"]
+    )
+    g = spark.createDataFrame(
+        [("c1", "d1"), ("c2", "d2"), ("c4", "d4")], ["conv_id", "digest"]
+    )
+    assert inv.digest_mismatches(a, g) == {"missing": 1, "extra": 1, "mismatched": 1}
+
+
 def test_turn_order_is_physical_in_files(wh):
     """The ordering invariant is a property of the written files, not a
     read-time sort: scanning any sink data file RAW (pyarrow, no Spark, no

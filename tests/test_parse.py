@@ -76,6 +76,71 @@ def test_prefilter_equivalent(base, engine):
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
 
 
+def test_patterns_json_roundtrip(base, tmp_path):
+    """SURVEY §3.1 step 1: the registry is config-file data. A registry
+    serialized to JSON and loaded back is equal and drives the parser
+    identically to the code-default one."""
+    from watchman_spark.config import patterns_from_json, patterns_to_json
+
+    p = tmp_path / "patterns.json"
+    p.write_text(patterns_to_json(DEFAULT_PATTERNS))
+    loaded = patterns_from_json(str(p))
+    assert loaded == DEFAULT_PATTERNS
+    assert parsed_struct(loaded) == parsed_struct(DEFAULT_PATTERNS)
+    a = flatten_parsed(with_parsed(base, DEFAULT_PATTERNS, engine="pandas")).orderBy("turn_idx")
+    b = flatten_parsed(with_parsed(base, loaded, engine="pandas")).orderBy("turn_idx")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_patterns_json_validation(tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from watchman_spark.config import patterns_from_json
+
+    def write(obj):
+        p = tmp_path / "bad.json"
+        p.write_text(json.dumps(obj))
+        return str(p)
+
+    with _pytest.raises(Exception):  # invalid regex fails at LOAD time
+        patterns_from_json(write({"patterns": [{"name": "x", "regex": "(?P<a>["}]}))
+    with _pytest.raises(ValueError):  # no named groups
+        patterns_from_json(write({"patterns": [{"name": "x", "regex": "abc"}]}))
+    with _pytest.raises(ValueError):  # unsupported type
+        patterns_from_json(
+            write({"patterns": [{"name": "x", "regex": "(?P<a>\\d+)", "types": {"a": "float"}}]})
+        )
+    with _pytest.raises(ValueError):  # empty registry
+        patterns_from_json(write({"patterns": []}))
+
+
+def test_job_run_with_patterns_file(spark, tmp_path):
+    """job.py --patterns round-trip: a run driven by a JSON registry file
+    produces the same per-sink counts as the golden computation."""
+    from watchman_spark.config import patterns_to_json
+    from watchman_spark.job import main as job_main
+    from watchman_spark.schema import SINKS
+    from watchman_spark.sources.warehouse import ParquetWarehouse
+    from watchman_spark.synth import SynthParams, compute_golden, role_dim, synth_transcripts, tool_dim
+
+    params = SynthParams(seed=11, n_convs=40, C=200, hot_cap=80)
+    root = str(tmp_path / "wh")
+    w = ParquetWarehouse(root)
+    w.write_append(synth_transcripts(spark, params), "transcripts")
+    w.write_append(role_dim(spark), "role_dim")
+    w.write_append(tool_dim(spark), "tool_dim")
+    pfile = tmp_path / "patterns.json"
+    pfile.write_text(patterns_to_json(DEFAULT_PATTERNS))
+    rc = job_main(
+        ["run", "--warehouse", root, "--buckets", "8", "--patterns", str(pfile)]
+    )
+    assert rc == 0
+    golden = compute_golden(params)
+    assert {s: w.table_rows(f"sink_{s}") for s in SINKS} == golden["per_sink"]
+
+
 def test_parse_pushdown_stays_jvm(base):
     """JVM engine must not introduce any Python boundary in the plan."""
     plan = with_parsed(base, engine="jvm")._jdf.queryExecution().executedPlan().toString()

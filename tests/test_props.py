@@ -97,3 +97,27 @@ def test_engines_agree_on_adversarial(spark):
     a = flatten_parsed(with_parsed(df, engine="jvm")).orderBy("i").collect()
     b = flatten_parsed(with_parsed(df, engine="pandas")).orderBy("i").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_grouped_agg_udaf_matches_builtin(spark):
+    """U4 parity: the grouped-agg pandas UDF (Arrow-batched Python
+    aggregation) must agree with the built-in F.percentile (both are exact
+    linear-interpolated percentiles) on the driver's events table."""
+    from pyspark.sql import functions as F
+
+    from watchman_spark.queries import t
+    from watchman_spark.queries_fn import udf_p95_grouped_agg
+
+    sf = "/root/testdata/sf0.001"
+    udaf = {
+        r["event_type"]: r["p95_value"]
+        for r in udf_p95_grouped_agg(spark, sf).collect()
+    }
+    builtin = {
+        r["event_type"]: r["p95_value"]
+        for r in t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.percentile("value", 0.95), 4).alias("p95_value"))
+        .collect()
+    }
+    assert udaf == builtin and len(udaf) >= 3

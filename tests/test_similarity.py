@@ -70,6 +70,25 @@ def test_lsh_bucket_deterministic_and_locality(spark, emb):
     assert buckets[0] == buckets[999]  # near-identical vectors share buckets
 
 
+def test_multiprobe_recall_vs_brute_force(spark, emb):
+    """Hamming-1 multi-probe must recover >=0.9 of the brute-force top-k
+    (the recall/cost dial promised for the 100 TB path), and never less
+    than the single-bucket probe."""
+    k = 10
+    qd = emb.filter(F.col("vec_id") == 0).select(as_double(F.col("embedding")).alias("q"))
+    truth = {r["vec_id"] for r in brute_force_topk(emb, qd, k=k).collect()}
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    single = {r["vec_id"] for r in lsh_topk(emb, q, dim=DIM, k=k, n_planes=4).collect()}
+    multi = {
+        r["vec_id"]
+        for r in lsh_topk(emb, q, dim=DIM, k=k, n_planes=4, probes=1).collect()
+    }
+    recall_single = len(truth & single) / k
+    recall_multi = len(truth & multi) / k
+    assert recall_multi >= recall_single
+    assert recall_multi >= 0.9
+
+
 def test_lsh_topk_contains_near_dup(spark, emb):
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     top = lsh_topk(emb, q, dim=DIM, k=5, n_planes=4).collect()

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 import pytest
 
 from pyspark.sql import functions as F
@@ -14,6 +15,7 @@ from watchman_spark.schema import SINKS
 from watchman_spark.sources.warehouse import ParquetWarehouse
 from watchman_spark.streaming.stream import (
     read_transcript_stream,
+    route_batch,
     route_stream,
     sessionized_counts,
     windowed_sink_counts,
@@ -86,6 +88,66 @@ def test_session_windows_run(spark, source_dir, tmp_path_factory):
     q.awaitTermination(300)
     n = spark.sql("SELECT COUNT(*) AS c FROM sessions").collect()[0]["c"]
     assert n >= 0  # closed sessions only; structural smoke
+
+
+def test_route_batch_epoch_replay_idempotent(spark, tmp_path_factory):
+    """Structured Streaming re-runs a failed epoch from the checkpoint; the
+    router must not double-append on replay — full-epoch replays are no-ops
+    and partial-epoch replays recommit ONLY the sinks that never committed."""
+    root = str(tmp_path_factory.mktemp("replay_wh"))
+    cfg = PipelineConfig(warehouse=root, n_buckets=8, run_id="replay")
+    wh = ParquetWarehouse(root)
+    batch = synth_transcripts(spark, PARAMS)
+    rd, td = role_dim(spark), tool_dim(spark)
+
+    assert route_batch(wh, cfg, batch, 0, rd, td) == len(SINKS)
+    before = {s: wh.table_rows(f"sink_{s}") for s in SINKS}
+    commits_before = {s: len(wh.commits(f"sink_{s}")) for s in SINKS}
+    assert before == compute_golden(PARAMS)["per_sink"]
+
+    # full replay of the same epoch: nothing committed, nothing appended
+    assert route_batch(wh, cfg, batch, 0, rd, td) == 0
+    assert {s: wh.table_rows(f"sink_{s}") for s in SINKS} == before
+    assert {s: len(wh.commits(f"sink_{s}")) for s in SINKS} == commits_before
+
+    # partial-epoch crash: drop one sink's commit, replay recommits only it
+    wh.rollback_commit("sink_errors", wh.commits("sink_errors")[-1]["id"])
+    assert route_batch(wh, cfg, batch, 0, rd, td) == 1
+    assert {s: wh.table_rows(f"sink_{s}") for s in SINKS} == before
+
+    # a NEW epoch appends normally
+    assert route_batch(wh, cfg, batch, 1, rd, td) == len(SINKS)
+    assert wh.table_rows("sink_errors") == 2 * before["errors"]
+
+
+def test_route_batch_parses_once(spark, tmp_path_factory, monkeypatch):
+    """The micro-batch fan-out is SINGLE-PASS: parse/enrich/route execute
+    exactly once per epoch (one staged partitionBy write), not once per
+    sink. A pass-through pandas UDF on the text column counts the rows that
+    actually flow through the parse stage."""
+    import watchman_spark.streaming.stream as stream_mod
+    from pyspark.sql.functions import pandas_udf
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @pandas_udf("string")
+    def tap(s: pd.Series) -> pd.Series:
+        acc.add(len(s))
+        return s
+
+    real = stream_mod.with_parsed
+    monkeypatch.setattr(
+        stream_mod,
+        "with_parsed",
+        lambda df, *a, **kw: real(df.withColumn("text", tap("text")), *a, **kw),
+    )
+    root = str(tmp_path_factory.mktemp("onepass_wh"))
+    cfg = PipelineConfig(warehouse=root, n_buckets=8, run_id="onepass")
+    wh = ParquetWarehouse(root)
+    batch = synth_transcripts(spark, PARAMS)
+    n_rows = batch.count()
+    route_batch(wh, cfg, batch, 0, role_dim(spark), tool_dim(spark))
+    assert acc.value == n_rows  # the old per-sink shape measured 3x this
 
 
 def test_stream_resume_no_duplicates(spark, source_dir, tmp_path_factory):

@@ -80,6 +80,63 @@ DEFAULT_PATTERNS: tuple[GrokPattern, ...] = (
 # majority of rows.
 
 
+def patterns_from_json(path: str) -> tuple[GrokPattern, ...]:
+    """Load a pattern registry from a JSON config file (SURVEY.md §3.1
+    step 1: patterns are DATA — an operator adds one by editing config, not
+    code). File shape:
+
+        {"patterns": [{"name": "...", "regex": "...",
+                       "types": {"group": "int"}, "prefilter": "..."}]}
+
+    Each regex is validated (compiled, and must declare at least one named
+    group) at LOAD time, so a bad registry fails the job at startup, not
+    mid-run on the executors. The ``parsed`` struct schema is computed from
+    the loaded registry exactly as for the code-default one."""
+    import json as _json
+
+    with open(path) as f:
+        data = _json.load(f)
+    pats = []
+    for p in data["patterns"]:
+        pat = GrokPattern(
+            name=p["name"],
+            regex=p["regex"],
+            types=dict(p.get("types", {})),
+            prefilter=p.get("prefilter"),
+        )
+        pat.compiled()  # validate regex now
+        if not pat.groups:
+            raise ValueError(f"pattern {pat.name!r} declares no named capture groups")
+        for g, typ in pat.types.items():
+            if typ not in ("int", "string"):
+                raise ValueError(f"pattern {pat.name!r}: unsupported type {typ!r} for group {g!r}")
+        pats.append(pat)
+    if not pats:
+        raise ValueError(f"pattern registry {path!r} is empty")
+    return tuple(pats)
+
+
+def patterns_to_json(patterns: tuple[GrokPattern, ...]) -> str:
+    """Serialize a registry to the JSON config shape (round-trip with
+    patterns_from_json — tested in tests/test_parse.py)."""
+    import json as _json
+
+    return _json.dumps(
+        {
+            "patterns": [
+                {
+                    "name": p.name,
+                    "regex": p.regex,
+                    "types": p.types,
+                    **({"prefilter": p.prefilter} if p.prefilter else {}),
+                }
+                for p in patterns
+            ]
+        },
+        indent=1,
+    )
+
+
 def parsed_struct(patterns: tuple[GrokPattern, ...] = DEFAULT_PATTERNS) -> StructType:
     """Compute the ``parsed`` struct schema from a pattern registry."""
     fields: list[StructField] = []

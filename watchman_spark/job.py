@@ -54,8 +54,12 @@ def cmd_synth(args) -> int:
 
 def cmd_run(args) -> int:
     spark = _session(args)
+    from .config import DEFAULT_PATTERNS, patterns_from_json
+
+    patterns = patterns_from_json(args.patterns) if args.patterns else DEFAULT_PATTERNS
     cfg = PipelineConfig(
         warehouse=args.warehouse,
+        patterns=patterns,
         n_buckets=args.buckets,
         salt=args.salt,
         parse_engine=args.parse_engine,
@@ -112,6 +116,11 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--buckets", type=int, default=32)
     pr.add_argument("--salt", type=int, default=16)
     pr.add_argument("--parse-engine", choices=["pandas", "jvm"], default="pandas")
+    pr.add_argument(
+        "--patterns",
+        default=None,
+        help="JSON pattern-registry file (default: built-in DEFAULT_PATTERNS)",
+    )
     pr.add_argument("--run-id", default="run-0")
     pr.add_argument("--max-buckets", type=int, default=None)
     pr.set_defaults(fn=cmd_run)

@@ -32,6 +32,24 @@ def _reused(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def _drop_hot_keys(df: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
+    """Drop rows whose key appears in more than ``cap`` rows — the standard
+    document-frequency cap before a key-equality self-join. One hot key with
+    df=d fans out O(d²) candidate pairs; at 10^12 scale a single stop-shingle
+    (df ~10⁶) would create ~10¹² candidates. Keys above the cap are by
+    construction few (≤ total/cap), so the anti-join build side is small
+    (AQE broadcasts it). cap=None disables (exact semantics preserved)."""
+    if cap is None:
+        return df
+    hot = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > cap)
+        .select(*key_cols)
+    )
+    return df.join(hot, key_cols, "left_anti")
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Groups of identical key_cols: keep lowest id, count members."""
     return df.groupBy(*key_cols).agg(
@@ -64,11 +82,23 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.6,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact jaccard over word-k-gram shingle sets for candidate pairs that
-    share at least one shingle. Returns (id_a, id_b, jaccard)."""
-    sh = _reused(shingle_table(df, id_col, text_col, k))
+    share at least one shingle. Returns (id_a, id_b, jaccard).
+
+    ``max_df`` caps shingle document frequency BEFORE the self-join (hot
+    shingles are dropped from the shingle sets entirely, like stopword
+    removal — jaccard is then over rare shingles). max_df=None keeps exact
+    full-set jaccard; at web scale set it so the join fan-out is bounded by
+    n_shingles·max_df² (tests/test_dedup.py plants a stop-shingle and
+    asserts true-pair recall is unchanged)."""
+    sh = _reused(_drop_hot_keys(shingle_table(df, id_col, text_col, k), ["shingle"], max_df))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -112,6 +142,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidates, verified with exact jaccard.
 
@@ -119,6 +150,13 @@ def minhash_lsh_pairs(
     row-slice of the signature matches exactly (hash-equality join on the
     band digest — near-linear candidate generation).
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, exact.
+
+    ``max_bucket`` caps band-bucket size before the candidate self-join
+    (one hot bucket of b members fans out O(b²) pairs). Dropping a hot
+    bucket only loses pairs whose EVERY matching band is hot — with
+    ``bands`` independent chances per pair, true near-dups survive through
+    any non-hot band (recall asserted in tests/test_dedup.py). The exact
+    jaccard verify below is unaffected (full shingle sets).
     """
     rows = n_hashes // bands
     sigs = _reused(minhash_signatures(df, id_col, text_col, k, n_hashes))
@@ -138,6 +176,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bd"),
     ).select("id", F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest"))
+    banded = _drop_hot_keys(banded, ["band", "digest"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -204,11 +243,17 @@ def simhash64(text: Column) -> Column:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash: band-bucket candidates (a pair within
     hamming distance d < bands must agree exactly on >= 1 band), then exact
-    hamming verify via popcount of xor."""
+    hamming verify via popcount of xor. ``max_bucket`` caps band-bucket size
+    before the self-join (same rationale as minhash_lsh_pairs)."""
     width = 64 // bands
     sims = _reused(
         df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim"))
@@ -230,6 +275,7 @@ def simhash_pairs(
             )
         ).alias("bd"),
     ).select("id", "sim", F.col("bd.band").alias("band"), F.col("bd.chunk").alias("chunk"))
+    banded = _drop_hot_keys(banded, ["band", "chunk"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -72,10 +72,55 @@ def conv_digests(df: DataFrame) -> DataFrame:
 def text_equality_digests(
     spark: SparkSession, wh: ParquetWarehouse, sample_convs: list[str] | None = None
 ) -> dict[str, str]:
-    """Digest of union-of-sinks, optionally restricted to a conv sample.
-    Compare against the generator's golden digests or against digests of
-    the input table."""
+    """TEST HELPER (small samples only — collects one row per conversation):
+    digest map of union-of-sinks, optionally restricted to a conv sample.
+    The scale-safe audit is ``text_equality_audit`` below, which never
+    collects per-conversation rows."""
     df = union_of_sinks(spark, wh, ["conv_id", "turn_idx", "text"])
     if sample_convs:
         df = df.filter(F.col("conv_id").isin(sample_convs))
     return {r["conv_id"]: r["digest"] for r in conv_digests(df).collect()}
+
+
+def digest_mismatches(actual: DataFrame, golden: DataFrame) -> dict:
+    """Distributed digest comparison: full-outer join on conv_id, reduce to
+    THREE counts on the driver (never the per-conversation rows — at 10^12
+    turns / 10^8-9 conversations a digest collect is a driver OOM).
+
+    ``actual``/``golden``: (conv_id, digest) DataFrames. Returns counts of
+    conversations missing from actual, extra in actual, and present in both
+    with differing digests. All-zero == the text-equality invariant holds."""
+    a = actual.select("conv_id", F.col("digest").alias("__da"))
+    g = golden.select("conv_id", F.col("digest").alias("__dg"))
+    row = (
+        a.join(g, "conv_id", "full_outer")
+        .agg(
+            F.count(F.when(F.col("__da").isNull(), 1)).alias("missing"),
+            F.count(F.when(F.col("__dg").isNull(), 1)).alias("extra"),
+            F.count(
+                F.when(
+                    F.col("__da").isNotNull()
+                    & F.col("__dg").isNotNull()
+                    & (F.col("__da") != F.col("__dg")),
+                    1,
+                )
+            ).alias("mismatched"),
+        )
+        .collect()[0]
+    )
+    return {"missing": row["missing"], "extra": row["extra"], "mismatched": row["mismatched"]}
+
+
+def text_equality_audit(spark: SparkSession, wh: ParquetWarehouse) -> dict:
+    """The per-turn text-equality invariant as a SCALE-SAFE audit job
+    (BASELINE.json:6 "per-turn text-equality invariant under stable turn
+    ordering"): per-conversation digests of union-of-sinks vs digests of the
+    input table, compared distributively — only 3 counters reach the
+    driver."""
+    routed = conv_digests(union_of_sinks(spark, wh, ["conv_id", "turn_idx", "text"]))
+    golden = conv_digests(
+        wh.read(spark, "transcripts", schema=TRANSCRIPT_SCHEMA).select(
+            "conv_id", "turn_idx", "text"
+        )
+    )
+    return digest_mismatches(routed, golden)

@@ -110,16 +110,37 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 20,
     n_planes: int = 8,
+    probes: int = 0,
 ) -> DataFrame:
     """ANN: restrict scoring to vectors in the query's LSH bucket, then
-    exact cosine rank inside the bucket. Recall < 1 by design; at 100 TB
-    you'd multi-probe (union several nearby buckets) to trade cost/recall."""
+    exact cosine rank inside the bucket.
+
+    ``probes`` is the multi-probe radius: probes=0 scores the exact bucket
+    only (recall < 1 by design); probes=1 additionally unions every bucket
+    at Hamming distance 1 from the query's (flip each of the n_planes sign
+    bits) — the standard cost/recall dial at scale. The probe set is tiny
+    (1 + n_planes rows), broadcast to the corpus-side join, so candidate
+    generation stays one map-side hash join regardless of corpus size."""
     base = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).withColumn(
         "bucket", lsh_bucket(F.col("v"), dim, n_planes)
     )
     q = query_df.select(as_double(F.col("q")).alias("q")).withColumn(
         "bucket", lsh_bucket(F.col("q"), dim, n_planes)
     )
+    if probes >= 1:
+        # each base vector lives in exactly one bucket and the probe set is
+        # distinct, so the join cannot duplicate candidates
+        q = q.select(
+            "q",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.col("bucket"),
+                        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+                    )
+                )
+            ).alias("bucket"),
+        )
     return (
         base.join(F.broadcast(q), "bucket")
         .select(F.col(id_col), F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))

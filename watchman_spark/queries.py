@@ -622,12 +622,66 @@ def setop_distinct(spark, sf_dir):
     return t(spark, sf_dir, "events").select("user_id", "event_type").dropDuplicates()
 
 
+# Driver-facing ordering. The correctness driver checks the FIRST ~50
+# registered queries (CORRECTNESS_r01 contained exactly the first 50), so
+# ordering is a verification-coverage decision, not cosmetics:
+#   1. _HEAD: the flagship pipeline + every query that was beyond the
+#      50-slot window in round 1 (zero driver signal so far) + queries
+#      fixed/added this round — these need a hard driver check most;
+#   2. remaining DuckDB-oracled queries in registration order (triple
+#      rows+schema+hash checks);
+#   3. _TAIL: low-information oracled queries already triple-green in
+#      CORRECTNESS_r01 (their hard signal exists on record);
+#   4. rows-only queries last (the driver records only a row count for
+#      them — the weakest signal, and each has a pytest instead).
+_HEAD = [
+    "pipeline_per_sink",
+    "scan_snapshot",
+    "scan_incremental",
+    "scan_snapshot_full",
+    "dedup_embedding_cosine",
+    "ann_brute_force",
+    "text_lang_id",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "fn_map",
+    "udf_p95_grouped_agg",
+]
+_TAIL = [
+    "fn_conditional",
+    "join_cross_small",
+    "agg_cube",
+    "setop_union",
+    "setop_except",
+    "setop_intersect",
+    "setop_distinct",
+]
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in _HEAD if n in REGISTRY]
+    tail = [n for n in _TAIL if n in REGISTRY]
+    placed = set(head) | set(tail)
+    oracled = [
+        n for n, qd in REGISTRY.items() if qd.oracle is not None and n not in placed
+    ]
+    rows_only = [
+        n for n, qd in REGISTRY.items() if qd.oracle is None and n not in placed
+    ]
+    return head + oracled + tail + rows_only
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: qd.fn for name, qd in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 # Import-time registration of the remaining families (scalar functions, UDF

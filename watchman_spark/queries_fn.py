@@ -165,15 +165,27 @@ def fn_array(spark, sf_dir):
     )
 
 
-@register("fn_map", None)  # rows-only: map literals/serialization differ by engine
+@register(
+    "fn_map",
+    """SELECT doc_id,
+              lang AS m_lang,
+              CAST(2 AS BIGINT) AS n_keys,
+              lang || ',' || source AS vals
+       FROM documents""",
+)
 def fn_map(spark, sf_dir):
+    # F7: create_map / element_at / map_keys / map_values are all exercised,
+    # but every OUTPUT column is a canonicalizable scalar — the driver's
+    # value-hash canonicalizer lexsorts with pandas and dies on raw
+    # array/map cells (CORRECTNESS_r01.json fn_map: "unhashable type:
+    # 'list'"), so map_values is emitted through concat_ws.
     d = t(spark, sf_dir, "documents")
     m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
     return d.select(
         "doc_id",
         F.element_at(m, "lang").alias("m_lang"),
-        F.size(F.map_keys(m)).alias("n_keys"),
-        F.map_values(m).alias("vals"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.concat_ws(",", F.map_values(m)).alias("vals"),
     )
 
 
@@ -288,3 +300,26 @@ def udf_conv_digest(spark, sf_dir):
         )
 
     return ev.groupBy("user_id").applyInPandas(digest, "user_id long, digest string, n long")
+
+
+# U4: a REAL grouped-agg pandas_udf (Arrow-batched Python aggregation) —
+# the cross-check for the built-in F.percentile used by agg_p95_latency.
+# pandas' default 'linear' quantile interpolation is exactly DuckDB's
+# quantile_cont (and Spark's percentile), so this is fully oracle-checked.
+@register(
+    "udf_p95_grouped_agg",
+    """SELECT event_type, round(quantile_cont(value, 0.95), 4) AS p95_value
+       FROM events GROUP BY event_type""",
+)
+def udf_p95_grouped_agg(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def p95(v: pd.Series) -> float:
+        return float(v.quantile(0.95, interpolation="linear"))
+
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(p95("value"), 4).alias("p95_value"))
+    )

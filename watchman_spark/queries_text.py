@@ -160,8 +160,18 @@ def ann_lsh(spark, sf_dir):
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     # 4 planes = 16 buckets: sized so a bucket holds ~1/16 of the corpus —
     # enough candidates to rank at test scale; at 100 TB raise planes and
-    # multi-probe instead
+    # multi-probe (ann_lsh_multiprobe below) instead
     return lsh_topk(emb, q, dim=64, k=20, n_planes=4)
+
+
+@register("ann_lsh_multiprobe", None)  # rows-only: bucket membership is hash-defined
+def ann_lsh_multiprobe(spark, sf_dir):
+    # Hamming-1 multi-probe: scores the query bucket plus each one-bit-flip
+    # neighbor bucket — recall vs brute force is asserted >=0.9 in
+    # tests/test_similarity.py; cost stays one broadcast hash join
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return lsh_topk(emb, q, dim=64, k=20, n_planes=4, probes=1)
 
 
 # ---------------------------------------------------------------------------
@@ -258,4 +268,17 @@ def multimodal_features(spark, sf_dir):
     media = multimodal.synthesize_media(
         t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
     )
-    return multimodal.extract_features(media, dim=16)
+    feats = multimodal.extract_features(media, dim=16)
+    # driver-visible outputs must be canonicalizable scalars (the driver's
+    # pandas lexsort dies on raw array cells — the fn_map lesson): expose the
+    # vector's dimension and L2 norm, plus a JSON rendering, not the raw array
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.size("features").alias("feat_dim"),
+        F.round(
+            F.sqrt(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x)), 3
+        ).alias("feat_norm"),
+        F.to_json(F.slice("features", 1, 2)).alias("feat_head2"),
+    )

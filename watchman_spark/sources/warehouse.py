@@ -27,6 +27,7 @@ import pyarrow.dataset as pa_ds
 import pyarrow.parquet as pa_pq
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -117,8 +118,12 @@ class ParquetWarehouse:
         multi-sink fan-out: one partitionBy("sink", ...) write produces one
         subtree per sink; each subtree is moved under its sink table and
         committed here — the data is written exactly once)."""
-        if not data_dir.startswith(self.root):
-            # same-filesystem move into the table's data area
+        # same-filesystem move into the table's data area; component-wise
+        # containment check (a string prefix would wrongly accept sibling
+        # roots like '/wh-other' for root '/wh')
+        real_root = os.path.realpath(self.root)
+        real_dir = os.path.realpath(data_dir)
+        if os.path.commonpath([real_dir, real_root]) != real_root:
             raise ValueError("staged dir must live under the warehouse root")
         dest = os.path.join(self._tdir(table), "data", uuid.uuid4().hex)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
@@ -239,8 +244,20 @@ class ParquetWarehouse:
         # root — read per-dir and union (a single multi-root read trips
         # Spark's CONFLICTING_DIRECTORY_STRUCTURES discovery)
         out = None
+        declared = {f.name: f.dataType for f in schema.fields} if schema is not None else {}
         for d in dirs:
             part = spark.read.parquet(d)
+            if declared:
+                # enforce the caller's declared types on the data columns
+                # (inference must not drift when batch hive-partitioned and
+                # streaming data-column commits mix in one sink table);
+                # partition columns stay as discovered
+                part = part.select(
+                    *[
+                        F.col(f.name).cast(declared[f.name]) if f.name in declared else F.col(f.name)
+                        for f in part.schema.fields
+                    ]
+                )
             out = part if out is None else out.unionByName(part, allowMissingColumns=True)
         return out
 

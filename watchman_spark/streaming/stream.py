@@ -66,23 +66,51 @@ def sessionized_counts(
     )
 
 
-def route_stream(
-    spark: SparkSession,
-    stream: DataFrame,
+def committed_epoch_sinks(wh: ParquetWarehouse, run_id: str, epoch_id: int) -> set[str]:
+    """Sinks whose commit log already holds a (run_id, epoch) commit —
+    the idempotence check for micro-batch replay."""
+    done: set[str] = set()
+    for sink in SINKS:
+        for c in wh.commits(f"sink_{sink}"):
+            lin = c.get("lineage", {})
+            if lin.get("run_id") == run_id and lin.get("epoch") == epoch_id:
+                done.add(sink)
+                break
+    return done
+
+
+def route_batch(
+    wh: ParquetWarehouse,
     cfg: PipelineConfig,
+    batch_df: DataFrame,
+    epoch_id: int,
     role_dim: DataFrame | None = None,
     tool_dim: DataFrame | None = None,
-    checkpoint_dir: str | None = None,
-    trigger_once: bool = False,
-) -> StreamingQuery:
-    """T5+T8: streaming dedup + micro-batch router. Each micro-batch runs
-    the identical batch logic and appends through the commit-log warehouse
-    (lineage records the epoch, so replayed batches are reconcilable)."""
-    wh = ParquetWarehouse(cfg.warehouse)
-    deduped = stream.dropDuplicates(["conv_id", "turn_idx"])
+) -> int:
+    """One micro-batch of the T8 router. Exactly-once AND single-pass:
 
-    def route_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        routed = flatten_parsed(
+    - idempotent on epoch replay: Structured Streaming re-runs a failed
+      epoch from the last checkpoint; sinks whose commit log already holds
+      a (run_id, epoch) lineage entry are skipped, so a crash between
+      per-sink commits cannot double-append (tests/test_stream.py replays
+      the same epoch and asserts counts unchanged);
+    - parse/enrich/route execute ONCE per micro-batch: a single
+      partitionBy("sink", ...) write stages every sink's subtree in one
+      Spark action (the batch pipeline's plan, plans/pipeline.py), after
+      which per-sink commits are atomic renames. The previous shape — one
+      filter+append action per sink — re-ran the parse 3x per epoch.
+
+    Returns the number of sinks committed this call (0 == full replay skip).
+    """
+    import os
+    import shutil
+    import uuid
+
+    done = committed_epoch_sinks(wh, cfg.run_id, epoch_id)
+    if len(done) == len(SINKS):
+        return 0
+    routed = (
+        flatten_parsed(
             with_conv_bucket(
                 with_sink(
                     enrich(
@@ -93,13 +121,45 @@ def route_stream(
                 ),
                 cfg.n_buckets,
             )
-        ).withColumn("dt", F.to_date("ts")).withColumn("run_id", F.lit(f"epoch-{epoch_id}"))
-        lineage = {"run_id": cfg.run_id, "epoch": epoch_id}
-        for sink in SINKS:
-            part = routed.filter(F.col("sink") == sink).drop("sink")
-            wh.write_append(part, f"sink_{sink}", lineage=lineage)
+        )
+        .sortWithinPartitions("sink", "conv_bucket", "conv_id", "turn_idx")
+        .withColumn("dt", F.to_date("ts"))
+        .withColumn("run_id", F.lit(f"epoch-{epoch_id}"))
+    )
+    staging = os.path.join(cfg.warehouse, "_staging", f"epoch-{uuid.uuid4().hex}")
+    routed.write.partitionBy("sink", "conv_bucket").parquet(staging)
+    lineage = {"run_id": cfg.run_id, "epoch": epoch_id}
+    committed = 0
+    for sink in SINKS:
+        subdir = os.path.join(staging, f"sink={sink}")
+        if sink in done or not os.path.isdir(subdir):
+            continue
+        wh.commit_existing(
+            f"sink_{sink}", subdir, partition_by=["conv_bucket"], lineage=lineage
+        )
+        committed += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    return committed
 
-    writer = deduped.writeStream.foreachBatch(route_batch).outputMode("append")
+
+def route_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    cfg: PipelineConfig,
+    role_dim: DataFrame | None = None,
+    tool_dim: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """T5+T8: streaming dedup + micro-batch router (see route_batch for the
+    exactly-once / single-pass contract)."""
+    wh = ParquetWarehouse(cfg.warehouse)
+    deduped = stream.dropDuplicates(["conv_id", "turn_idx"])
+
+    def _on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        route_batch(wh, cfg, batch_df, epoch_id, role_dim, tool_dim)
+
+    writer = deduped.writeStream.foreachBatch(_on_batch).outputMode("append")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if trigger_once:
