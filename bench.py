@@ -169,9 +169,147 @@ def run_parse_route_only(spark, path: str) -> tuple[int, float]:
     return int(row["n"]), secs
 
 
+# ---------------------------------------------------------------------------
+# Standalone-cluster scaling evidence (BASELINE.json:14: "spark-submit
+# --py-files on a multi-executor cluster at two cluster sizes (N and 4N
+# executors)"). A REAL local standalone cluster: one master + 4 worker
+# daemons, each worker offering 2 cores / 12g, executors as SEPARATE JVM
+# processes (2 cores each). N executors = spark.cores.max 2N. This removes
+# the local-thread-mode measurement bias where one shared JVM gives the
+# small-N level a disproportionate share of GC/shuffle/IO helper threads.
+# ---------------------------------------------------------------------------
+
+MASTER_URL = "spark://127.0.0.1:7077"
+PYFILES_ZIP = "/tmp/watchman_spark_pyfiles.zip"
+
+
+def _spark_home() -> str:
+    import pyspark
+
+    return os.path.dirname(os.path.abspath(pyspark.__file__))
+
+
+def _port_open(port: int) -> bool:
+    import socket
+
+    s = socket.socket()
+    s.settimeout(0.5)
+    try:
+        s.connect(("127.0.0.1", port))
+        s.close()
+        return True
+    except OSError:
+        return False
+
+
+def _alive_workers() -> int:
+    """Workers the master reports ALIVE (master JSON endpoint)."""
+    import json as _json
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen("http://127.0.0.1:8089/json/", timeout=2) as r:
+            data = _json.load(r)
+        return sum(1 for w in data.get("workers", []) if w.get("state") == "ALIVE")
+    except Exception:
+        return 0
+
+
+def build_pyfiles_zip() -> str:
+    """The --py-files artifact: the engine zipped exactly as it would be
+    shipped by spark-submit (executors import watchman_spark from it)."""
+    import zipfile
+
+    with zipfile.ZipFile(PYFILES_ZIP, "w") as z:
+        pkg = os.path.join(REPO, "watchman_spark")
+        for base, _dirs, names in os.walk(pkg):
+            for n in names:
+                if n.endswith(".py"):
+                    p = os.path.join(base, n)
+                    z.write(p, os.path.relpath(p, REPO))
+    return PYFILES_ZIP
+
+
+def ensure_cluster(n_workers: int = 4, cores: int = 2, mem: str = "12g") -> None:
+    """Start (idempotently) a local standalone master + n_workers workers."""
+    import subprocess
+    import time as _t
+
+    home = _spark_home()
+    logdir = "/tmp/spark-logs"
+    os.makedirs(logdir, exist_ok=True)
+    env = {**os.environ, "SPARK_HOME": home}
+    cls = os.path.join(home, "bin", "spark-class")
+    if not _port_open(7077):
+        with open(os.path.join(logdir, "master.log"), "ab") as log:
+            subprocess.Popen(
+                [cls, "org.apache.spark.deploy.master.Master",
+                 "-h", "127.0.0.1", "-p", "7077", "--webui-port", "8089"],
+                stdout=log, stderr=subprocess.STDOUT, env=env,
+            )
+        for _ in range(60):
+            if _port_open(7077):
+                break
+            _t.sleep(1)
+        else:
+            raise RuntimeError("standalone master did not start on :7077")
+    missing = n_workers - _alive_workers()
+    for i in range(missing):
+        with open(os.path.join(logdir, f"worker-{i}.log"), "ab") as log:
+            subprocess.Popen(
+                [cls, "org.apache.spark.deploy.worker.Worker", MASTER_URL,
+                 "-h", "127.0.0.1", "-c", str(cores), "-m", mem,
+                 "--webui-port", "0", "--work-dir", f"/tmp/spark-work-{i}-{os.getpid()}"],
+                stdout=log, stderr=subprocess.STDOUT, env=env,
+            )
+    for _ in range(60):
+        if _alive_workers() >= n_workers:
+            return
+        _t.sleep(1)
+    raise RuntimeError(f"only {_alive_workers()}/{n_workers} workers registered")
+
+
+def stop_cluster() -> None:
+    import subprocess
+
+    subprocess.run(["pkill", "-f", "org.apache.spark.deploy.worker.Worker"], check=False)
+    subprocess.run(["pkill", "-f", "org.apache.spark.deploy.master.Master"], check=False)
+
+
+def cluster_session(n_exec: int):
+    """SparkSession against the standalone cluster with exactly ``n_exec``
+    2-core executor processes; the engine ships as a --py-files zip."""
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.appName(f"watchman-scaling-{n_exec}exec")
+        .master(MASTER_URL)
+        .config("spark.cores.max", str(2 * n_exec))
+        .config("spark.executor.cores", "2")
+        .config("spark.executor.memory", "10g")
+        .config("spark.driver.memory", "8g")
+        .config("spark.submit.pyFiles", PYFILES_ZIP)
+        .config("spark.pyspark.python", sys.executable)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
+        .config("spark.local.dir", os.path.join(_fast_dir(), "spark-local"))
+        .config("spark.ui.enabled", "false")
+    )
+    s = b.getOrCreate()
+    s.sparkContext.addPyFile(PYFILES_ZIP)
+    return s
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         scaling_main()
+        return
+    if "--scaling-local" in sys.argv:
+        scaling_local_main()
         return
     if "--transcripts-only" in sys.argv:
         # scaling-measurement mode: two warmup runs (JIT, Python worker
@@ -284,12 +422,131 @@ def _interleaved_pair(a: int, b: int, cycles: int | None = None) -> dict:
 
 
 def scaling_main() -> None:
-    """Measure the transcript pipeline at N vs 4N threads, interleaved, on
-    the same pre-generated input; write BENCH/BASELINE.md.
+    """PRIMARY scaling evidence: the transcript pipeline on a REAL local
+    standalone cluster at 1 vs 4 executor processes (2 cores each),
+    interleaved cycles, same pre-generated input; writes BENCH/BASELINE.md.
 
-    Primary pair is local[2] vs local[8] — see the pairs comment below for
-    why (Python workers double the busy thread count; the VM has ~16
-    physical cores under 32 advertised vCPUs)."""
+    This is the closest sandbox realization of BASELINE.json's criterion
+    ("N and 4N executors"): executors are separate JVM processes receiving
+    the engine via a --py-files zip, so per-executor helper threads
+    (GC/shuffle/IO) scale with cluster size exactly as on a real cluster.
+    Thread-based local[N] comparison remains available as --scaling-local
+    (it systematically UNDERSTATES scaling: the single shared JVM gives the
+    small-N level all 32 vCPUs' worth of GC/IO helper threads)."""
+    import statistics
+
+    cycles = int(os.environ.get("WATCHMAN_SCALING_CYCLES", "3"))
+    n_a, n_b = 1, 4
+    build_pyfiles_zip()
+    ensure_cluster(n_workers=4, cores=2, mem="12g")
+    e2e: dict[int, list[float]] = {n_a: [], n_b: []}
+    mponly: dict[int, list[float]] = {n_a: [], n_b: []}
+    rows = 0
+    path = None
+    try:
+        for cycle in range(cycles):
+            for n in (n_a, n_b):
+                spark = cluster_session(n)
+                if path is None:
+                    path = ensure_bench_transcripts(spark)
+                # TWO warmups: each session launches FRESH executor JVMs
+                # (unlike local-thread mode), and the first heavy runs are
+                # JIT-dominated (measured: run0 ~2.5x run1 on this job)
+                run_transcript_pipeline(spark, path)
+                run_transcript_pipeline(spark, path)
+                r1, s1 = run_transcript_pipeline(spark, path)
+                _, s2 = run_transcript_pipeline(spark, path)
+                rows = r1
+                e2e[n].append(min(s1, s2))
+                _, p1 = run_parse_route_only(spark, path)
+                _, p2 = run_parse_route_only(spark, path)
+                mponly[n].append(min(p1, p2))
+                print(
+                    f"cycle {cycle} {n}exec: e2e={e2e[n][-1]:.2f}s "
+                    f"parse={mponly[n][-1]:.2f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                spark.stop()
+    finally:
+        if not os.environ.get("WATCHMAN_KEEP_CLUSTER"):
+            stop_cluster()
+
+    def med_eff(times: dict[int, list[float]]) -> float:
+        return statistics.median(ta / tb for ta, tb in zip(times[n_a], times[n_b])) / 4
+
+    eff, parse_eff = med_eff(e2e), med_eff(mponly)
+    best = {n: min(v) for n, v in e2e.items()}
+    best_p = {n: min(v) for n, v in mponly.items()}
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH — measured transcript-pipeline scaling evidence
+
+Job: the REAL end-to-end pipeline (parse → broadcast enrich → route →
+single-pass partitionBy(sink, conv_bucket) write → concurrent per-sink
+counts + salted rollup → checkpoint ledger) over {rows:,} deterministic
+zipfian transcript turns (seed-pinned; identical input at every cluster
+size; generation excluded; 2 warmup runs then best-of-2 measured).
+
+Cluster: a REAL local standalone Spark cluster — 1 master + 4 worker
+daemons (2 cores / 12g each), executors as separate 2-core JVM processes,
+the engine shipped to executors as a --py-files zip (the spark-submit
+packaging path, BASELINE.json:14). **N = 1 executor vs 4N = 4 executors**,
+measured INTERLEAVED (1, 4, 1, 4, ...) over {cycles} cycles because the
+sandbox host's effective capacity drifts over minutes; efficiency is the
+median of per-cycle wall ratios / 4.
+
+Two series: full end-to-end (includes the conv_bucket exchange and the
+partitioned sink write to a shared tmpfs), and the parse+route map phase
+alone (no shuffle/write — the 'lines parsed per second' figure of merit
+and the proxy for map-side multi-node scaling).
+
+| series | pair | walls at N (s) | walls at 4N (s) | best thpt N (t/s) | best thpt 4N (t/s) | efficiency |
+| --- | --- | --- | --- | --- | --- | --- |
+| end-to-end | 1 exec → 4 exec | {[round(t, 2) for t in e2e[n_a]]} | {[round(t, 2) for t in e2e[n_b]]} | {rows / best[n_a]:,.0f} | {rows / best[n_b]:,.0f} | {eff:.3f} |
+| parse+route map phase | 1 exec → 4 exec | {[round(t, 2) for t in mponly[n_a]]} | {[round(t, 2) for t in mponly[n_b]]} | {rows / best_p[n_a]:,.0f} | {rows / best_p[n_b]:,.0f} | {parse_eff:.3f} |
+
+- **1 executor → 4 executors: end-to-end efficiency = {eff:.3f};
+  parse+route map-phase efficiency = {parse_eff:.3f}** (median of
+  interleaved-cycle ratios / 4). Target ≥ 0.8.
+
+Why executor processes and not local[N] threads: local mode runs every
+"executor" inside ONE shared JVM, so GC, shuffle and IO helper threads are
+sized for the whole 32-vCPU machine at BOTH levels — the small-N level
+borrows far more helper parallelism than its share, deflating the ratio
+(round-1 local-thread measurement: 0.749; available via --scaling-local).
+Separate executor JVMs give each cluster size exactly its own helpers, as
+on a real multi-node cluster. 4 executors = 8 task cores + 8 Arrow Python
+workers = 16 busy threads, which fits this VM's ~16 physical cores' worth
+of capacity (busy-loop calibration) — neither level oversubscribes.
+
+Honesty notes: all executors share one machine's memory bandwidth and one
+tmpfs (input + sink writes + shuffle on /dev/shm to keep the episodically-
+stalling virtio disk out of the measurement), so cross-executor effects a
+real cluster would not have remain; and the host's effective capacity
+drifts over minutes (hence interleaving + median-of-ratios). The job's
+scale shape is the designed one: parse, broadcast enrich and route-tag are
+map-side; the only all-to-all exchange is the conv_bucket repartition; the
+hot-key rollup is salted; per-sink counts and the rollup run as concurrent
+jobs after the single-pass write.
+"""
+        )
+    print(
+        json.dumps(
+            {
+                "mode": "standalone-cluster",
+                "pair": f"{n_a}exec->{n_b}exec",
+                "eff_e2e": round(eff, 3),
+                "eff_parse": round(parse_eff, 3),
+                "best_thpt_4n": round(rows / best[n_b], 1),
+            }
+        )
+    )
+
+
+def scaling_local_main() -> None:
+    """SECONDARY scaling evidence: local[N] thread pairs (kept for
+    comparison; systematically understates scaling — see scaling_main)."""
     spark = get_session(CPUS)
     ensure_bench_transcripts(spark)
     spark.stop()
@@ -317,9 +574,9 @@ def scaling_main() -> None:
         f"(median of interleaved-cycle ratios / 4)"
         for r in results
     )
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "BASELINE_LOCAL.md"), "w") as f:
         f.write(
-            f"""# BENCH — measured transcript-pipeline scaling evidence
+            f"""# BENCH — local[N]-thread scaling (SECONDARY; see BASELINE.md)
 
 Job: the REAL end-to-end pipeline (parse → broadcast enrich → route →
 single-pass partitionBy(sink, conv_bucket) write → per-sink counts +

@@ -96,3 +96,38 @@ def test_ledger_lineage_covers_all_buckets(spark, tmp_path):
     assert total == PARAMS.total_rows
     nonempty = [r for r in rows if r["rows"] > 0]
     assert all(r["min_conv"] is not None and r["max_conv"] <= "conv99999999" for r in nonempty)
+
+
+def test_partitioned_read_enforces_declared_types(spark, tmp_path):
+    """Snapshot reads of hive-partitioned commits must honor the caller's
+    declared data-column types (no inference drift when commits mix), and
+    staged commits from OUTSIDE the warehouse root must be rejected even
+    when the path shares a string prefix with the root."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from watchman_spark.sources.warehouse import ParquetWarehouse
+
+    root = str(tmp_path / "wh")
+    wh = ParquetWarehouse(root)
+    df = spark.range(6).select(
+        F.col("id").cast("int").alias("v"),  # narrower than the declared long
+        (F.col("id") % 2).cast("int").alias("p"),
+    )
+    wh.write_append(df, "t", partition_by=["p"])
+    wh.write_append(df, "t", partition_by=["p"])
+    schema = StructType([StructField("v", LongType())])
+    out = wh.read(spark, "t", schema=schema)
+    types = {f.name: f.dataType for f in out.schema.fields}
+    assert types["v"] == LongType()
+    assert out.count() == 12
+
+    # sibling-prefix path must NOT be accepted as "inside the warehouse"
+    sibling = root + "-other"
+    import os
+
+    os.makedirs(os.path.join(sibling, "data"), exist_ok=True)
+    with _pytest.raises(ValueError):
+        wh.commit_existing("t", os.path.join(sibling, "data"))

@@ -95,3 +95,11 @@ def test_turn_order_is_physical_in_files(wh):
                 prev_conv = cid
             checked_files += 1
     assert checked_files > 0
+
+
+def test_job_audit_subcommand(spark, wh):
+    """job.py audit: the operational wrapper over the invariant audits
+    returns 0 (and an ok report) on a correctly routed warehouse."""
+    from watchman_spark.job import main as job_main
+
+    assert job_main(["audit", "--warehouse", wh.root]) == 0

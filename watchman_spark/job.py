@@ -89,6 +89,30 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """Run the pipeline invariant audits against a warehouse: routed-row
+    equality (both directions), sink disjointness, and the per-turn
+    text-equality digest audit — all distributed, counters-only on the
+    driver (safe at 10^12-turn scale)."""
+    from .operators import invariants as inv
+
+    spark = _session(args)
+    wh = ParquetWarehouse(args.warehouse)
+    out = {
+        "routed_row_equality": inv.routed_row_equality(spark, wh),
+        "sinks_disjoint": inv.sinks_disjoint(spark, wh),
+        "text_equality": inv.text_equality_audit(spark, wh),
+    }
+    ok = (
+        out["routed_row_equality"] == {"missing_from_sinks": 0, "extra_in_sinks": 0}
+        and out["sinks_disjoint"]
+        and out["text_equality"] == {"missing": 0, "extra": 0, "mismatched": 0}
+    )
+    out["ok"] = ok
+    print(json.dumps(out))
+    return 0 if ok else 1
+
+
 def cmd_sql(args) -> int:
     from .sql import sql as run_sql
 
@@ -128,6 +152,10 @@ def main(argv: list[str] | None = None) -> int:
     pst = sub.add_parser("status", help="warehouse snapshot/ledger status")
     _add_common(pst)
     pst.set_defaults(fn=cmd_status)
+
+    pa_ = sub.add_parser("audit", help="distributed invariant audits (exit 1 on violation)")
+    _add_common(pa_)
+    pa_.set_defaults(fn=cmd_audit)
 
     pq = sub.add_parser("sql", help="run Spark SQL over the warehouse tables")
     _add_common(pq)

