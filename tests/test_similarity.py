@@ -97,3 +97,25 @@ def test_lsh_topk_contains_near_dup(spark, emb):
     # scores are exact cosines (LSH only restricts candidates)
     sims = {r["vec_id"]: r["cos_sim"] for r in top}
     assert sims[999] >= 0.999
+
+
+def test_ivf_topk_recall_and_determinism(spark, emb):
+    """IVF: deterministic centroids, numpy-vectorized assignment, and
+    nprobe-bucket search with recall >=0.9 vs brute force; scores inside
+    the probed buckets are exact cosines."""
+    from watchman_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    c1 = ivf_centroids(emb, n_centroids=4)
+    c2 = ivf_centroids(emb, n_centroids=4)
+    assert c1 == c2 and len(c1) == 4 and len(c1[0]) == DIM
+
+    k = 10
+    qd = emb.filter(F.col("vec_id") == 0).select(as_double(F.col("embedding")).alias("q"))
+    truth = {r["vec_id"] for r in brute_force_topk(emb, qd, k=k).collect()}
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    got = ivf_topk(emb, q, k=k, n_centroids=4, nprobe=2).collect()
+    ids = {r["vec_id"] for r in got}
+    assert len(truth & ids) / k >= 0.9
+    assert 0 in ids and 999 in ids  # self + planted near-dup always found
+    sims = {r["vec_id"]: r["cos_sim"] for r in got}
+    assert sims[999] >= 0.999

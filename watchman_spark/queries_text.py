@@ -22,6 +22,7 @@ from .operators.similarity import (
     as_double,
     brute_force_topk,
     cosine_pairs_blocked,
+    ivf_topk,
     lsh_topk,
 )
 from .operators.textstats import STOPWORDS
@@ -162,6 +163,16 @@ def ann_lsh(spark, sf_dir):
     # enough candidates to rank at test scale; at 100 TB raise planes and
     # multi-probe (ann_lsh_multiprobe below) instead
     return lsh_topk(emb, q, dim=64, k=20, n_planes=4)
+
+
+@register("ann_ivf", None)  # rows-only: centroid picks are hash-defined
+def ann_ivf(spark, sf_dir):
+    # IVF coarse quantization: deterministic centroid picks, Arrow/numpy
+    # batch assignment, nprobe=4-of-8 bucket search, exact cosine rank —
+    # recall vs brute force asserted >=0.9 in tests/test_similarity.py
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return ivf_topk(emb, q, k=20, n_centroids=8, nprobe=4)
 
 
 @register("ann_lsh_multiprobe", None)  # rows-only: bucket membership is hash-defined
