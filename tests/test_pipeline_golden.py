@@ -94,3 +94,83 @@ def test_idempotent_rerun(spark, warehouse):
     assert m2.buckets == [] and m2.rows_in == 0
     after = {t: wh.snapshot(t) for t in before}
     assert after == before
+
+
+def test_custom_routes_end_to_end(spark, tmp_path):
+    """Configurable output routing (BASELINE.json:6): an operator adds a
+    sink by config, not code. A 4th route peels high-latency tool calls
+    into its own sink; routing stays total and exact."""
+    from pyspark.sql import functions as F
+
+    from watchman_spark.config import PipelineConfig
+    from watchman_spark.plans.pipeline import build_routed, run_pipeline
+    from watchman_spark.sources.warehouse import ParquetWarehouse
+    from watchman_spark.synth import SynthParams, role_dim, synth_transcripts, tool_dim
+
+    params = SynthParams(seed=31, n_convs=50, C=300, hot_cap=100)
+    root = str(tmp_path / "wh")
+    wh = ParquetWarehouse(root)
+    wh.write_append(synth_transcripts(spark, params), "transcripts")
+    wh.write_append(role_dim(spark), "role_dim")
+    wh.write_append(tool_dim(spark), "tool_dim")
+    routes = (
+        ("errors", "parsed.error_code IS NOT NULL"),
+        ("slow_tools", "parsed.tool_name IS NOT NULL AND parsed.latency_ms > 250"),
+        ("tool_calls", "parsed.tool_name IS NOT NULL"),
+    )
+    cfg = PipelineConfig(warehouse=root, routes=routes, n_buckets=8, run_id="routes")
+    assert cfg.sink_names == ("errors", "slow_tools", "tool_calls", "conversational")
+    m = run_pipeline(spark, cfg)
+
+    # expected split computed directly from the routed logical plan
+    routed = build_routed(
+        wh.read(spark, "transcripts"), cfg, role_dim(spark), tool_dim(spark)
+    )
+    expected = {
+        r["sink"]: r["n"]
+        for r in routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {s: wh.table_rows(f"sink_{s}") for s in cfg.sink_names}
+    assert {k: v for k, v in got.items() if v} == expected
+    assert sum(got.values()) == m.rows_in > 0
+    assert got["slow_tools"] > 0 and got["tool_calls"] > 0  # rule order honored
+
+    # first-match semantics: no slow row ever lands in tool_calls
+    slow_in_tc = (
+        wh.read(spark, "sink_tool_calls").filter(F.col("latency_ms") > 250).count()
+    )
+    assert slow_in_tc == 0
+
+
+def test_routes_json_and_validation(tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from watchman_spark.config import (
+        DEFAULT_PATTERNS,
+        PipelineConfig,
+        patterns_to_json,
+        routes_from_json,
+    )
+
+    # patterns file without routes -> None (caller keeps defaults)
+    p = tmp_path / "pat.json"
+    p.write_text(patterns_to_json(DEFAULT_PATTERNS))
+    assert routes_from_json(str(p)) is None
+
+    # with routes: parsed + validated
+    obj = json.loads(p.read_text())
+    obj["routes"] = [
+        {"sink": "errors", "when": "parsed.error_code IS NOT NULL"},
+        {"sink": "audit_trail", "when": "role = 'system'"},
+    ]
+    obj["default_sink"] = "rest"
+    p.write_text(json.dumps(obj))
+    routes, default = routes_from_json(str(p))
+    assert routes[1] == ("audit_trail", "role = 'system'") and default == "rest"
+
+    with _pytest.raises(ValueError):  # duplicate sink name
+        PipelineConfig(warehouse="/x", routes=(("a", "1=1"), ("a", "2=2")))
+    with _pytest.raises(ValueError):  # invalid sink name
+        PipelineConfig(warehouse="/x", routes=(("Bad-Name", "1=1"),))

@@ -79,6 +79,30 @@ DEFAULT_PATTERNS: tuple[GrokPattern, ...] = (
 # lines match nothing — there the literal gate skips the regex for the
 # majority of rows.
 
+# Output routing is DATA too (BASELINE.json:6 "mirroring watchman's
+# configurable output routing"): an ordered list of (sink_name, SQL
+# boolean condition) rules, first match wins, plus a catch-all default
+# sink. The default mirrors the spec's three sinks. Conditions are Spark
+# SQL expressions over the parsed/enriched row (the ``parsed`` struct is
+# in scope). Routing stays TOTAL by construction: the default sink
+# catches everything no rule matched.
+DEFAULT_ROUTES: tuple[tuple[str, str], ...] = (
+    ("errors", "parsed.error_code IS NOT NULL"),
+    ("tool_calls", "parsed.tool_name IS NOT NULL"),
+)
+DEFAULT_SINK = "conversational"
+
+_SINK_NAME = re.compile(r"^[a-z][a-z0-9_]*$")
+
+
+def validate_routes(routes: tuple[tuple[str, str], ...], default_sink: str) -> None:
+    names = [r[0] for r in routes] + [default_sink]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate sink names in routes: {names}")
+    for n in names:
+        if not _SINK_NAME.match(n):
+            raise ValueError(f"invalid sink name {n!r} (want [a-z][a-z0-9_]*)")
+
 
 def patterns_from_json(path: str) -> tuple[GrokPattern, ...]:
     """Load a pattern registry from a JSON config file (SURVEY.md §3.1
@@ -114,6 +138,27 @@ def patterns_from_json(path: str) -> tuple[GrokPattern, ...]:
     if not pats:
         raise ValueError(f"pattern registry {path!r} is empty")
     return tuple(pats)
+
+
+def routes_from_json(path: str) -> tuple[tuple[tuple[str, str], ...], str] | None:
+    """Optional routing section of the same JSON config file:
+
+        {"routes": [{"sink": "errors", "when": "parsed.error_code IS NOT NULL"},
+                    ...],
+         "default_sink": "conversational"}
+
+    Returns (routes, default_sink), or None when the file has no "routes"
+    key (callers then keep DEFAULT_ROUTES). Validated at load time."""
+    import json as _json
+
+    with open(path) as f:
+        data = _json.load(f)
+    if "routes" not in data:
+        return None
+    routes = tuple((r["sink"], r["when"]) for r in data["routes"])
+    default_sink = data.get("default_sink", DEFAULT_SINK)
+    validate_routes(routes, default_sink)
+    return routes, default_sink
 
 
 def patterns_to_json(patterns: tuple[GrokPattern, ...]) -> str:
@@ -158,6 +203,10 @@ class PipelineConfig:
     warehouse: str  # root dir of the parquet-warehouse backend
     input_table: str = "transcripts"
     patterns: tuple[GrokPattern, ...] = DEFAULT_PATTERNS
+    # ordered (sink, SQL condition) rules, first match wins; every row the
+    # rules miss lands in default_sink (total routing by construction)
+    routes: tuple[tuple[str, str], ...] = DEFAULT_ROUTES
+    default_sink: str = DEFAULT_SINK
     n_buckets: int = 32  # conv_id hash buckets = checkpoint/work unit
     salt: int = 16  # salt fan-out for skewed rollups
     # "pandas" (Arrow iterator UDF; C-regex, measured ~5x faster than the
@@ -168,3 +217,10 @@ class PipelineConfig:
     # cap buckets per run (None = all pending): bounds a run's blast radius
     # at 10^12 scale and lets operators drip through the backlog
     max_buckets_per_run: int | None = None
+
+    @property
+    def sink_names(self) -> tuple[str, ...]:
+        return tuple(r[0] for r in self.routes) + (self.default_sink,)
+
+    def __post_init__(self) -> None:
+        validate_routes(self.routes, self.default_sink)

@@ -54,12 +54,18 @@ def cmd_synth(args) -> int:
 
 def cmd_run(args) -> int:
     spark = _session(args)
-    from .config import DEFAULT_PATTERNS, patterns_from_json
+    from .config import DEFAULT_PATTERNS, DEFAULT_ROUTES, DEFAULT_SINK, patterns_from_json, routes_from_json
 
     patterns = patterns_from_json(args.patterns) if args.patterns else DEFAULT_PATTERNS
+    routing = (routes_from_json(args.patterns) if args.patterns else None) or (
+        DEFAULT_ROUTES,
+        DEFAULT_SINK,
+    )
     cfg = PipelineConfig(
         warehouse=args.warehouse,
         patterns=patterns,
+        routes=routing[0],
+        default_sink=routing[1],
         n_buckets=args.buckets,
         salt=args.salt,
         parse_engine=args.parse_engine,
@@ -143,7 +149,8 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument(
         "--patterns",
         default=None,
-        help="JSON pattern-registry file (default: built-in DEFAULT_PATTERNS)",
+        help="JSON config file: grok pattern registry + optional routing "
+        "rules (default: built-in DEFAULT_PATTERNS / DEFAULT_ROUTES)",
     )
     pr.add_argument("--run-id", default="run-0")
     pr.add_argument("--max-buckets", type=int, default=None)

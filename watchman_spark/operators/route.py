@@ -20,21 +20,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..config import DEFAULT_ROUTES, DEFAULT_SINK
 from ..schema import SINKS
 
 
-def sink_expr(parsed_col: str = "parsed") -> Column:
-    """errors if error_code else tool_calls if tool_name else conversational."""
-    p = F.col(parsed_col)
-    return (
-        F.when(p["error_code"].isNotNull(), F.lit("errors"))
-        .when(p["tool_name"].isNotNull(), F.lit("tool_calls"))
-        .otherwise(F.lit("conversational"))
-    )
+def sink_expr(
+    parsed_col: str = "parsed",
+    routes: tuple[tuple[str, str], ...] = DEFAULT_ROUTES,
+    default_sink: str = DEFAULT_SINK,
+) -> Column:
+    """Config-driven first-match routing (BASELINE.json:6 "configurable
+    output routing"): one CASE WHEN chain from the ordered (sink, SQL
+    condition) rules, catch-all default. Pure JVM expressions — adding a
+    sink is a config edit, not a code edit. The default rules reproduce
+    errors / tool_calls / conversational exactly."""
+    expr: Column | None = None
+    for sink, cond in routes:
+        clause = F.expr(cond)
+        expr = F.when(clause, F.lit(sink)) if expr is None else expr.when(clause, F.lit(sink))
+    if expr is None:
+        return F.lit(default_sink)
+    return expr.otherwise(F.lit(default_sink))
 
 
-def with_sink(df: DataFrame, parsed_col: str = "parsed") -> DataFrame:
-    return df.withColumn("sink", sink_expr(parsed_col))
+def with_sink(
+    df: DataFrame,
+    parsed_col: str = "parsed",
+    routes: tuple[tuple[str, str], ...] = DEFAULT_ROUTES,
+    default_sink: str = DEFAULT_SINK,
+) -> DataFrame:
+    return df.withColumn("sink", sink_expr(parsed_col, routes, default_sink))
 
 
 def with_conv_bucket(df: DataFrame, n_buckets: int) -> DataFrame:

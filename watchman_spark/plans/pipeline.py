@@ -15,7 +15,10 @@ shape at scale (the 10^12-turn argument, SURVEY.md §4):
   than simply writing once (the write IS the materialization);
 - aggregates are computed from the column-pruned read-back of the files
   just written (counts/rollup touch 3-5 narrow columns, a tiny fraction of
-  the bytes), and the hot-key rollup is salted;
+  the bytes) as ONE shared-partial job whose skew salt is the physical
+  conv_bucket partitioning (see step 7);
+- routing is config-driven (config.py routes): ordered SQL rules, first
+  match wins, catch-all default — sinks derive from cfg.sink_names;
 - per-bucket lineage (rows, conv_id min/max) comes from parquet footer
   statistics — no extra scan.
 
@@ -40,7 +43,7 @@ from ..metrics import RunMetrics
 from ..operators.enrich import enrich
 from ..operators.parse import flatten_parsed, with_parsed
 from ..operators.route import ordered_by_turn, with_conv_bucket, with_sink
-from ..schema import ROLE_DIM_SCHEMA, SINKS, TOOL_DIM_SCHEMA, TRANSCRIPT_SCHEMA
+from ..schema import ROLE_DIM_SCHEMA, TOOL_DIM_SCHEMA, TRANSCRIPT_SCHEMA
 from ..sources import checkpoint as ckpt
 from ..sources.warehouse import ParquetWarehouse
 
@@ -56,7 +59,10 @@ def build_routed(
     parse → enrich → sink-tag → bucket → conv-ordered. Source-agnostic."""
     parsed = with_parsed(df, cfg.patterns, engine=cfg.parse_engine)
     enriched = enrich(parsed, role_dim, tool_dim)
-    tagged = with_conv_bucket(with_sink(enriched), cfg.n_buckets)
+    tagged = with_conv_bucket(
+        with_sink(enriched, routes=cfg.routes, default_sink=cfg.default_sink),
+        cfg.n_buckets,
+    )
     return ordered_by_turn(tagged, n_partitions or cfg.n_buckets, key="conv_bucket")
 
 
@@ -119,7 +125,11 @@ def run_pipeline(
     # invariant is a physical property of the files, not a read-time sort.
     raw = work.repartition(cfg.n_buckets, "conv_bucket")
     parsed = with_parsed(raw, cfg.patterns, engine=cfg.parse_engine)
-    tagged = with_sink(enrich(parsed, role_dim, tool_dim))
+    tagged = with_sink(
+        enrich(parsed, role_dim, tool_dim),
+        routes=cfg.routes,
+        default_sink=cfg.default_sink,
+    )
     routed = (
         flatten_parsed(tagged)
         .sortWithinPartitions("sink", "conv_bucket", "conv_id", "turn_idx")
@@ -133,7 +143,7 @@ def run_pipeline(
 
     # lineage from parquet footers — no extra scan
     frag_stats = wh.dir_stats(staging, stat_col="conv_id")
-    sink_rows: dict[str, int] = dict.fromkeys(SINKS, 0)
+    sink_rows: dict[str, int] = dict.fromkeys(cfg.sink_names, 0)
     bucket_stats: dict[int, dict] = {}
     for fs in frag_stats:
         parts = dict(
@@ -150,7 +160,7 @@ def run_pipeline(
 
     mark("footer_stats")
     lineage = {"run_id": cfg.run_id, "buckets": todo}
-    m.rows_per_sink = {s: sink_rows.get(s, 0) for s in SINKS}
+    m.rows_per_sink = {s: sink_rows.get(s, 0) for s in cfg.sink_names}
     m.rows_in = sum(m.rows_per_sink.values())
 
     # 7. aggregates from the column-pruned read-back of the STAGED tree —
@@ -218,7 +228,7 @@ def run_pipeline(
 
     # 8. atomic per-sink commits of the staged subtrees (the data was
     #    written exactly once; committing is a rename)
-    for sink in SINKS:
+    for sink in cfg.sink_names:
         subdir = os.path.join(staging, f"sink={sink}")
         if os.path.isdir(subdir):
             wh.commit_existing(

@@ -42,10 +42,18 @@ def pending_buckets(spark: SparkSession, wh: ParquetWarehouse, n_buckets: int) -
 
 def reconcile(spark: SparkSession, wh: ParquetWarehouse) -> list[tuple[str, int]]:
     """Roll back data commits not covered by the ledger. Returns what was
-    pruned as (table, commit_id) pairs. Idempotent."""
+    pruned as (table, commit_id) pairs. Idempotent.
+
+    Scans EVERY committed table in the warehouse (not a fixed sink list),
+    so custom route configurations (config.py routes) are reconciled too;
+    only bucket-lineaged commits participate — streaming epoch commits
+    carry (run_id, epoch) lineage and are replay-protected in
+    streaming/stream.py instead."""
     done = committed_buckets(spark, wh)
     pruned: list[tuple[str, int]] = []
-    for table in DATA_TABLES:
+    for table in wh.tables():
+        if table == LEDGER_TABLE:
+            continue
         for c in wh.commits(table):
             buckets = c.get("lineage", {}).get("buckets")
             if buckets is not None and not set(buckets) <= done:

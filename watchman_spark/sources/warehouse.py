@@ -43,6 +43,14 @@ class ParquetWarehouse:
     def _commits_dir(self, table: str) -> str:
         return os.path.join(self._tdir(table), "_commits")
 
+    def tables(self) -> list[str]:
+        """All tables with a commit log, sorted."""
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d, "_commits"))
+        )
+
     # -- commit log ------------------------------------------------------
     def commits(self, table: str) -> list[dict]:
         """All commits of a table, ascending by id. [] if table absent."""

@@ -22,7 +22,7 @@ from ..config import PipelineConfig
 from ..operators.enrich import enrich
 from ..operators.parse import flatten_parsed, with_parsed
 from ..operators.route import with_conv_bucket, with_sink
-from ..schema import SINKS, TRANSCRIPT_SCHEMA
+from ..schema import TRANSCRIPT_SCHEMA
 from ..sources.warehouse import ParquetWarehouse
 
 
@@ -46,7 +46,11 @@ def windowed_sink_counts(
 ) -> DataFrame:
     """T1+T2/T3: per-sink counts per event-time window, late data bounded
     by the watermark so window state can be evicted."""
-    tagged = with_sink(with_parsed(stream, cfg.patterns, engine=cfg.parse_engine))
+    tagged = with_sink(
+        with_parsed(stream, cfg.patterns, engine=cfg.parse_engine),
+        routes=cfg.routes,
+        default_sink=cfg.default_sink,
+    )
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         tagged.withWatermark("ts", watermark)
@@ -66,11 +70,13 @@ def sessionized_counts(
     )
 
 
-def committed_epoch_sinks(wh: ParquetWarehouse, run_id: str, epoch_id: int) -> set[str]:
+def committed_epoch_sinks(
+    wh: ParquetWarehouse, run_id: str, epoch_id: int, sinks: tuple[str, ...]
+) -> set[str]:
     """Sinks whose commit log already holds a (run_id, epoch) commit —
     the idempotence check for micro-batch replay."""
     done: set[str] = set()
-    for sink in SINKS:
+    for sink in sinks:
         for c in wh.commits(f"sink_{sink}"):
             lin = c.get("lineage", {})
             if lin.get("run_id") == run_id and lin.get("epoch") == epoch_id:
@@ -86,6 +92,7 @@ def route_batch(
     epoch_id: int,
     role_dim: DataFrame | None = None,
     tool_dim: DataFrame | None = None,
+    check_replay: bool = True,
 ) -> int:
     """One micro-batch of the T8 router. Exactly-once AND single-pass:
 
@@ -101,13 +108,23 @@ def route_batch(
       filter+append action per sink — re-ran the parse 3x per epoch.
 
     Returns the number of sinks committed this call (0 == full replay skip).
+
+    ``check_replay``: the commit-log scan costs O(total commits); Structured
+    Streaming can only replay the single epoch in flight at a crash, so
+    route_stream passes check_replay=True for the FIRST micro-batch after a
+    (re)start and False afterwards — O(1) log scans per query lifetime
+    instead of per epoch.
     """
     import os
     import shutil
     import uuid
 
-    done = committed_epoch_sinks(wh, cfg.run_id, epoch_id)
-    if len(done) == len(SINKS):
+    done = (
+        committed_epoch_sinks(wh, cfg.run_id, epoch_id, cfg.sink_names)
+        if check_replay
+        else set()
+    )
+    if len(done) == len(cfg.sink_names):
         return 0
     routed = (
         flatten_parsed(
@@ -117,7 +134,9 @@ def route_batch(
                         with_parsed(batch_df, cfg.patterns, engine=cfg.parse_engine),
                         role_dim,
                         tool_dim,
-                    )
+                    ),
+                    routes=cfg.routes,
+                    default_sink=cfg.default_sink,
                 ),
                 cfg.n_buckets,
             )
@@ -130,7 +149,7 @@ def route_batch(
     routed.write.partitionBy("sink", "conv_bucket").parquet(staging)
     lineage = {"run_id": cfg.run_id, "epoch": epoch_id}
     committed = 0
-    for sink in SINKS:
+    for sink in cfg.sink_names:
         subdir = os.path.join(staging, f"sink={sink}")
         if sink in done or not os.path.isdir(subdir):
             continue
@@ -155,9 +174,11 @@ def route_stream(
     exactly-once / single-pass contract)."""
     wh = ParquetWarehouse(cfg.warehouse)
     deduped = stream.dropDuplicates(["conv_id", "turn_idx"])
+    first = {"v": True}
 
     def _on_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        route_batch(wh, cfg, batch_df, epoch_id, role_dim, tool_dim)
+        check, first["v"] = first["v"], False
+        route_batch(wh, cfg, batch_df, epoch_id, role_dim, tool_dim, check_replay=check)
 
     writer = deduped.writeStream.foreachBatch(_on_batch).outputMode("append")
     if checkpoint_dir:
