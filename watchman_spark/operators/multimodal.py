@@ -86,3 +86,80 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize slot — no imaging library exists in this sandbox."""
+    raise NotImplementedError(
+        "image resizing requires an imaging library (e.g. Pillow) on the "
+        "executors; install it cluster-side and replace this stub"
+    )
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in with the real contract's shape: output size
+    scales with the target box (w*h // 256 bytes, content derived from the
+    payload digest stream)."""
+    n = max(1, (w * h) // 256)
+    h0 = hashlib.sha256(payload).digest()
+    return (h0 * (n // len(h0) + 1))[:n]
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, media_type string, target_w int, target_h int, resized binary"
+)
+
+
+def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Arrow-batched resize over image payloads (mapInPandas): non-image
+    rows pass through with resized=NULL; payload bytes never cross Python
+    row-at-a-time. Swap ``_fake_resize`` for a real codec (resize_image)
+    without touching the Spark plumbing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                _fake_resize(p if isinstance(p, bytes) else bytes(p), target_w, target_h)
+                if mt.startswith("image/")
+                else None
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "resized": resized,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame sampling for video payloads (mapInPandas, 1->N rows): emits up
+    to ``max_frames`` evenly spaced 'frames' per video. The stub slices the
+    payload byte stream deterministically — a real build decodes with e.g.
+    PyAV executor-side; the Spark contract (schema, fan-out shape, Arrow
+    batching) is identical. Non-video rows emit no frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p, mt in zip(pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+                if not mt.startswith("video/"):
+                    continue
+                raw = p if isinstance(p, bytes) else bytes(p)
+                n = min(max_frames, max(1, len(raw) // every_n_bytes))
+                for i in range(n):
+                    off = (i * len(raw)) // n
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(raw[off : off + every_n_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -5,23 +5,23 @@ tables (errors, tool-calls, conversational turns)". The routing rule is
 total (FIXTURES.md §1): every row gets exactly one sink tag, so the sinks
 partition the input — Σ sink counts == total rows is a tested invariant.
 
-Scale design: the parsed+enriched DataFrame is persisted ONCE, then each
-sink is a filter+append from the cached pass (Spark has no native
-single-pass multi-sink write; persisting avoids re-running scan+parse per
-sink — SURVEY.md §4 "single-pass multi-sink"). The only wide exchange in
-the whole pipeline is the explicit conv_id repartition here, which also
-establishes the stable turn ordering invariant (conv_id hash-partitioning
-plus turn_idx sortWithinPartitions, BASELINE.json:6).
+Routing is CONFIG-DRIVEN (config.py routes — BASELINE.json:6 "mirroring
+watchman's configurable output routing"): ordered SQL rules compiled into
+one JVM CASE chain, first match wins, catch-all default sink keeps the
+rule total — Σ sink counts == total rows is a tested invariant. The only
+wide exchange in the whole pipeline is the explicit conv_id/conv_bucket
+repartition here, which also establishes the stable turn ordering
+invariant (conv_id hash-partitioning plus turn_idx sortWithinPartitions,
+BASELINE.json:6); the fan-out itself is a single partitionBy write
+(plans/pipeline.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..config import DEFAULT_ROUTES, DEFAULT_SINK
-from ..schema import SINKS
 
 
 def sink_expr(
@@ -78,14 +78,7 @@ def ordered_by_turn(
     return parted.sortWithinPartitions("conv_id", "turn_idx")
 
 
-def split_by_sink(
-    df: DataFrame, persist: bool = True
-) -> tuple[DataFrame, dict[str, DataFrame]]:
-    """Persist the routed pass once; return (persisted_df, {sink: slice}).
-
-    Caller is responsible for ``persisted_df.unpersist()`` after all sink
-    writes + aggregates have run.
-    """
-    if persist:
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    return df, {s: df.filter(F.col("sink") == s) for s in SINKS}
+# NOTE: the round-1 ``split_by_sink`` (persist + one filter per sink) was
+# removed: both the batch pipeline and the streaming router fan out via a
+# single partitionBy("sink", "conv_bucket") staged write + per-sink atomic
+# commits — the data is written once and never re-filtered.

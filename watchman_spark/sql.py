@@ -16,14 +16,8 @@ def register_views(
     spark: SparkSession, wh: ParquetWarehouse, tables: list[str] | None = None
 ) -> list[str]:
     """Create/replace a temp view per committed table. Returns view names."""
-    import os
-
     if tables is None:
-        tables = sorted(
-            d
-            for d in os.listdir(wh.root)
-            if os.path.isdir(os.path.join(wh.root, d, "_commits"))
-        )
+        tables = wh.tables()
     out = []
     for t in tables:
         if wh.commits(t):
