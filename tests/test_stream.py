@@ -100,23 +100,23 @@ def test_route_batch_epoch_replay_idempotent(spark, tmp_path_factory):
     batch = synth_transcripts(spark, PARAMS)
     rd, td = role_dim(spark), tool_dim(spark)
 
-    assert route_batch(wh, cfg, batch, 0, rd, td) == len(SINKS)
+    assert len(route_batch(wh, cfg, batch, 0, rd, td)) == len(SINKS)
     before = {s: wh.table_rows(f"sink_{s}") for s in SINKS}
     commits_before = {s: len(wh.commits(f"sink_{s}")) for s in SINKS}
     assert before == compute_golden(PARAMS)["per_sink"]
 
     # full replay of the same epoch: nothing committed, nothing appended
-    assert route_batch(wh, cfg, batch, 0, rd, td) == 0
+    assert route_batch(wh, cfg, batch, 0, rd, td) == []
     assert {s: wh.table_rows(f"sink_{s}") for s in SINKS} == before
     assert {s: len(wh.commits(f"sink_{s}")) for s in SINKS} == commits_before
 
     # partial-epoch crash: drop one sink's commit, replay recommits only it
     wh.rollback_commit("sink_errors", wh.commits("sink_errors")[-1]["id"])
-    assert route_batch(wh, cfg, batch, 0, rd, td) == 1
+    assert route_batch(wh, cfg, batch, 0, rd, td) == ["errors"]
     assert {s: wh.table_rows(f"sink_{s}") for s in SINKS} == before
 
     # a NEW epoch appends normally
-    assert route_batch(wh, cfg, batch, 1, rd, td) == len(SINKS)
+    assert len(route_batch(wh, cfg, batch, 1, rd, td)) == len(SINKS)
     assert wh.table_rows("sink_errors") == 2 * before["errors"]
 
 
@@ -169,3 +169,22 @@ def test_stream_resume_no_duplicates(spark, source_dir, tmp_path_factory):
     q2.awaitTermination(300)
     after = {s: wh.table_rows(f"sink_{s}") for s in SINKS}
     assert after == before
+
+
+def test_fresh_checkpoint_same_run_id_no_duplicates(spark, source_dir, tmp_path_factory):
+    """A stream restarted with a CLEARED checkpoint but the same run_id and
+    warehouse re-sees every file as a new epoch (0..N again); the router's
+    commit-log index must skip every replayed (run_id, epoch), not just the
+    first one."""
+    root = str(tmp_path_factory.mktemp("freshck_wh"))
+    cfg = PipelineConfig(warehouse=root, n_buckets=8, run_id="stream-fresh")
+    wh = ParquetWarehouse(root)
+    for attempt in range(2):
+        ck = str(tmp_path_factory.mktemp(f"freshck_ck{attempt}"))  # NEW checkpoint
+        stream = read_transcript_stream(spark, source_dir, max_files_per_trigger=2)
+        q = route_stream(spark, stream, cfg, role_dim(spark), tool_dim(spark),
+                         checkpoint_dir=ck, trigger_once=True)
+        q.awaitTermination(300)
+    golden = compute_golden(PARAMS)
+    got = {s: wh.table_rows(f"sink_{s}") for s in SINKS}
+    assert got == golden["per_sink"]  # exactly once despite full re-read

@@ -120,6 +120,12 @@ def patterns_from_json(path: str) -> tuple[GrokPattern, ...]:
 
     with open(path) as f:
         data = _json.load(f)
+    if "patterns" not in data:
+        raise ValueError(f"config {path!r} has no 'patterns' section")
+    return _parse_patterns(data, path)
+
+
+def _parse_patterns(data: dict, path: str) -> tuple[GrokPattern, ...]:
     pats = []
     for p in data["patterns"]:
         pat = GrokPattern(
@@ -148,17 +154,48 @@ def routes_from_json(path: str) -> tuple[tuple[tuple[str, str], ...], str] | Non
          "default_sink": "conversational"}
 
     Returns (routes, default_sink), or None when the file has no "routes"
-    key (callers then keep DEFAULT_ROUTES). Validated at load time."""
+    key (callers then keep DEFAULT_ROUTES). Sink names and rule shape are
+    validated at load time; each "when" SQL condition is parsed (and its
+    columns resolved) when the routing CASE chain is analyzed at plan-setup
+    — still BEFORE any read or write runs (Spark analyzes withColumn
+    eagerly), so a bad condition fails the job at startup."""
     import json as _json
 
     with open(path) as f:
         data = _json.load(f)
+    return _parse_routes(data)
+
+
+def _parse_routes(data: dict) -> tuple[tuple[tuple[str, str], ...], str] | None:
     if "routes" not in data:
         return None
-    routes = tuple((r["sink"], r["when"]) for r in data["routes"])
+    routes = []
+    for r in data["routes"]:
+        if "sink" not in r or "when" not in r:
+            raise ValueError(f"route rule needs 'sink' and 'when': {r!r}")
+        if not isinstance(r["when"], str) or not r["when"].strip():
+            raise ValueError(f"route {r['sink']!r}: 'when' must be a non-empty SQL string")
+        routes.append((r["sink"], r["when"]))
+    routes = tuple(routes)
     default_sink = data.get("default_sink", DEFAULT_SINK)
     validate_routes(routes, default_sink)
     return routes, default_sink
+
+
+def load_config(
+    path: str,
+) -> tuple[tuple[GrokPattern, ...], tuple[tuple[str, str], ...], str]:
+    """One-read loader for the full JSON config: (patterns, routes,
+    default_sink), each section optional and independently defaulted —
+    a routes-only file keeps the built-in pattern registry and vice
+    versa."""
+    import json as _json
+
+    with open(path) as f:
+        data = _json.load(f)
+    patterns = _parse_patterns(data, path) if "patterns" in data else DEFAULT_PATTERNS
+    routing = _parse_routes(data) or (DEFAULT_ROUTES, DEFAULT_SINK)
+    return patterns, routing[0], routing[1]
 
 
 def patterns_to_json(patterns: tuple[GrokPattern, ...]) -> str:

@@ -54,18 +54,18 @@ def cmd_synth(args) -> int:
 
 def cmd_run(args) -> int:
     spark = _session(args)
-    from .config import DEFAULT_PATTERNS, DEFAULT_ROUTES, DEFAULT_SINK, patterns_from_json, routes_from_json
+    from .config import DEFAULT_PATTERNS, DEFAULT_ROUTES, DEFAULT_SINK, load_config
 
-    patterns = patterns_from_json(args.patterns) if args.patterns else DEFAULT_PATTERNS
-    routing = (routes_from_json(args.patterns) if args.patterns else None) or (
-        DEFAULT_ROUTES,
-        DEFAULT_SINK,
+    patterns, routes, default_sink = (
+        load_config(args.patterns)
+        if args.patterns
+        else (DEFAULT_PATTERNS, DEFAULT_ROUTES, DEFAULT_SINK)
     )
     cfg = PipelineConfig(
         warehouse=args.warehouse,
         patterns=patterns,
-        routes=routing[0],
-        default_sink=routing[1],
+        routes=routes,
+        default_sink=default_sink,
         n_buckets=args.buckets,
         salt=args.salt,
         parse_engine=args.parse_engine,
@@ -85,10 +85,10 @@ def cmd_status(args) -> int:
     done = sorted(ckpt.committed_buckets(spark, wh))
     out = {
         "committed_buckets": done,
+        # every committed table, so custom-route sinks show up too
         "tables": {
             t: {"snapshot": wh.snapshot(t), "rows": wh.table_rows(t)}
-            for t in ("transcripts",) + ckpt.DATA_TABLES + (ckpt.LEDGER_TABLE,)
-            if wh.commits(t)
+            for t in wh.tables()
         },
     }
     print(json.dumps(out, indent=1))

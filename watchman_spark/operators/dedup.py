@@ -98,7 +98,13 @@ def ngram_jaccard_pairs(
     full-set jaccard; at web scale set it so the join fan-out is bounded by
     n_shingles·max_df² (tests/test_dedup.py plants a stop-shingle and
     asserts true-pair recall is unchanged)."""
-    sh = _reused(_drop_hot_keys(shingle_table(df, id_col, text_col, k), ["shingle"], max_df))
+    base = shingle_table(df, id_col, text_col, k)
+    if max_df is not None:
+        # persist BEFORE the df-count + anti-join: both sides of
+        # _drop_hot_keys read the shingle table, and without the persist
+        # the full explode would execute twice
+        base = _drop_hot_keys(_reused(base), ["shingle"], max_df)
+    sh = _reused(base)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

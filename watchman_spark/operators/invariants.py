@@ -12,18 +12,32 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schema import SINKS, TRANSCRIPT_SCHEMA
+from ..schema import TRANSCRIPT_SCHEMA
 from ..sources.warehouse import ParquetWarehouse
 
 BASE_COLS = [f.name for f in TRANSCRIPT_SCHEMA.fields]
 NULL_SENTINEL = "\x00NULL"
 
 
-def union_of_sinks(spark: SparkSession, wh: ParquetWarehouse, cols: list[str]) -> DataFrame:
+def sink_names(wh: ParquetWarehouse) -> list[str]:
+    """Sinks discovered from the warehouse itself (every committed
+    ``sink_*`` table) — the audits must see custom route configurations
+    (config.py routes), not assume the default three."""
+    return [t[len("sink_"):] for t in wh.tables() if t.startswith("sink_")]
+
+
+def union_of_sinks(
+    spark: SparkSession,
+    wh: ParquetWarehouse,
+    cols: list[str],
+    sinks: list[str] | None = None,
+) -> DataFrame:
     out = None
-    for s in SINKS:
+    for s in sinks if sinks is not None else sink_names(wh):
         part = wh.read(spark, f"sink_{s}").select(cols)
         out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("warehouse has no committed sink tables to audit")
     return out
 
 

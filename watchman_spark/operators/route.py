@@ -25,15 +25,16 @@ from ..config import DEFAULT_ROUTES, DEFAULT_SINK
 
 
 def sink_expr(
-    parsed_col: str = "parsed",
     routes: tuple[tuple[str, str], ...] = DEFAULT_ROUTES,
     default_sink: str = DEFAULT_SINK,
 ) -> Column:
     """Config-driven first-match routing (BASELINE.json:6 "configurable
     output routing"): one CASE WHEN chain from the ordered (sink, SQL
     condition) rules, catch-all default. Pure JVM expressions — adding a
-    sink is a config edit, not a code edit. The default rules reproduce
-    errors / tool_calls / conversational exactly."""
+    sink is a config edit, not a code edit; conditions name their columns
+    (e.g. ``parsed.error_code``) so there is no implicit struct argument.
+    The default rules reproduce errors / tool_calls / conversational
+    exactly."""
     expr: Column | None = None
     for sink, cond in routes:
         clause = F.expr(cond)
@@ -45,11 +46,10 @@ def sink_expr(
 
 def with_sink(
     df: DataFrame,
-    parsed_col: str = "parsed",
     routes: tuple[tuple[str, str], ...] = DEFAULT_ROUTES,
     default_sink: str = DEFAULT_SINK,
 ) -> DataFrame:
-    return df.withColumn("sink", sink_expr(parsed_col, routes, default_sink))
+    return df.withColumn("sink", sink_expr(routes, default_sink))
 
 
 def with_conv_bucket(df: DataFrame, n_buckets: int) -> DataFrame:

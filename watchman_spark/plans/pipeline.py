@@ -138,107 +138,113 @@ def run_pipeline(
     )
     staging = os.path.join(cfg.warehouse, "_staging", uuid.uuid4().hex)
     mark("plan_setup")
-    routed.write.partitionBy("sink", "conv_bucket").parquet(staging)
-    mark("write")
+    # staging cleanup is unconditional: on failure the leftover tree is
+    # garbage (committed subtrees were already MOVED out; aggregate
+    # commits without a ledger row are rolled back by reconcile on the
+    # next run) — a retry recomputes the pending buckets from scratch
+    try:
+        routed.write.partitionBy("sink", "conv_bucket").parquet(staging)
+        mark("write")
 
-    # lineage from parquet footers — no extra scan
-    frag_stats = wh.dir_stats(staging, stat_col="conv_id")
-    sink_rows: dict[str, int] = dict.fromkeys(cfg.sink_names, 0)
-    bucket_stats: dict[int, dict] = {}
-    for fs in frag_stats:
-        parts = dict(
-            p.split("=", 1) for p in fs["path"].split(os.sep) if "=" in p
-        )
-        sink = parts.get("sink")
-        bucket = int(parts.get("conv_bucket", -1))
-        sink_rows[sink] = sink_rows.get(sink, 0) + fs["rows"]
-        b = bucket_stats.setdefault(bucket, {"rows": 0, "min": None, "max": None})
-        b["rows"] += fs["rows"]
-        if fs["min"] is not None:
-            b["min"] = fs["min"] if b["min"] is None else min(b["min"], fs["min"])
-            b["max"] = fs["max"] if b["max"] is None else max(b["max"], fs["max"])
-
-    mark("footer_stats")
-    lineage = {"run_id": cfg.run_id, "buckets": todo}
-    m.rows_per_sink = {s: sink_rows.get(s, 0) for s in cfg.sink_names}
-    m.rows_in = sum(m.rows_per_sink.values())
-
-    # 7. aggregates from the column-pruned read-back of the STAGED tree —
-    #    ONE schema-provided read (no footer inference; 'sink' and
-    #    'conv_bucket' come back as hive partition columns), ONE scan, ONE
-    #    small shuffle feeding BOTH outputs. The shared partial
-    #    groupBy(sink, conv_id, role, tool) is the two-stage skew defense
-    #    with the PHYSICAL partitioning as the salt: the staged tree is
-    #    conv_bucket-partitioned (whole conversations co-located), so
-    #    Spark's map-side combine collapses even the hottest conversation
-    #    to one partial row per (role, tool) per partition BEFORE the
-    #    exchange — no reducer ever sees more than n_partitions rows per
-    #    key. An explicit salt here would be redundant work: measured at
-    #    18.7M turns, salt_n=16 multiplied the stage-1 shuffle ~16x and
-    #    made the rollup memory-bandwidth-bound (2 cores ≈ 8 cores wall —
-    #    the scaling-efficiency killer). salted_agg remains the operator
-    #    for inputs that are NOT already key-partitioned (agg_salted,
-    #    driver-verified), and conv_role_tool_rollup(salt_n=...) remains
-    #    for arbitrary inputs.
-    if m.rows_in > 0:
-        agg_in = spark.read.schema(routed.schema).parquet(staging)
-        partial = (
-            agg_in.groupBy("sink", "conv_id", "role", "tool")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("latency_ms").alias("sum_latency_ms"),
-                F.max("err_ms").alias("max_err_ms"),
-                F.count("text").alias("n_text"),
+        # lineage from parquet footers — no extra scan
+        frag_stats = wh.dir_stats(staging, stat_col="conv_id")
+        sink_rows: dict[str, int] = dict.fromkeys(cfg.sink_names, 0)
+        bucket_stats: dict[int, dict] = {}
+        for fs in frag_stats:
+            parts = dict(
+                p.split("=", 1) for p in fs["path"].split(os.sep) if "=" in p
             )
-            .persist()
-        )
-        per_sink = {
-            r["sink"]: r
-            for r in partial.groupBy("sink")
-            .agg(
-                F.countDistinct("conv_id").alias("dc"),
-                F.sum("n_text").alias("n_text"),
+            sink = parts.get("sink")
+            bucket = int(parts.get("conv_bucket", -1))
+            sink_rows[sink] = sink_rows.get(sink, 0) + fs["rows"]
+            b = bucket_stats.setdefault(bucket, {"rows": 0, "min": None, "max": None})
+            b["rows"] += fs["rows"]
+            if fs["min"] is not None:
+                b["min"] = fs["min"] if b["min"] is None else min(b["min"], fs["min"])
+                b["max"] = fs["max"] if b["max"] is None else max(b["max"], fs["max"])
+
+        mark("footer_stats")
+        lineage = {"run_id": cfg.run_id, "buckets": todo}
+        m.rows_per_sink = {s: sink_rows.get(s, 0) for s in cfg.sink_names}
+        m.rows_in = sum(m.rows_per_sink.values())
+
+        # 7. aggregates from the column-pruned read-back of the STAGED tree —
+        #    ONE schema-provided read (no footer inference; 'sink' and
+        #    'conv_bucket' come back as hive partition columns), ONE scan, ONE
+        #    small shuffle feeding BOTH outputs. The shared partial
+        #    groupBy(sink, conv_id, role, tool) is the two-stage skew defense
+        #    with the PHYSICAL partitioning as the salt: the staged tree is
+        #    conv_bucket-partitioned (whole conversations co-located), so
+        #    Spark's map-side combine collapses even the hottest conversation
+        #    to one partial row per (role, tool) per partition BEFORE the
+        #    exchange — no reducer ever sees more than n_partitions rows per
+        #    key. An explicit salt here would be redundant work: measured at
+        #    18.7M turns, salt_n=16 multiplied the stage-1 shuffle ~16x and
+        #    made the rollup memory-bandwidth-bound (2 cores ≈ 8 cores wall —
+        #    the scaling-efficiency killer). salted_agg remains the operator
+        #    for inputs that are NOT already key-partitioned (agg_salted,
+        #    driver-verified), and conv_role_tool_rollup(salt_n=...) remains
+        #    for arbitrary inputs.
+        if m.rows_in > 0:
+            agg_in = spark.read.schema(routed.schema).parquet(staging)
+            partial = (
+                agg_in.groupBy("sink", "conv_id", "role", "tool")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("latency_ms").alias("sum_latency_ms"),
+                    F.max("err_ms").alias("max_err_ms"),
+                    F.count("text").alias("n_text"),
+                )
+                .persist()
             )
-            .collect()
-        }
-        wh.write_append(
-            partial.groupBy("conv_id", "role", "tool").agg(
-                F.sum("n").alias("n"),
-                F.sum("sum_latency_ms").alias("sum_latency_ms"),
-                F.max("max_err_ms").alias("max_err_ms"),
-            ),
-            "agg_conv_role_tool",
-            lineage=lineage,
-        )
-        partial.unpersist()
-        m.parse_miss = (
-            per_sink["conversational"]["n_text"] if "conversational" in per_sink else 0
-        )
-        counts_tbl = pa.table(
-            {
-                "sink": pa.array(list(per_sink), pa.string()),
-                "n": pa.array([sink_rows[s] for s in per_sink], pa.int64()),
-                "distinct_convs": pa.array(
-                    [per_sink[s]["dc"] for s in per_sink], pa.int64()
-                ),
+            per_sink = {
+                r["sink"]: r
+                for r in partial.groupBy("sink")
+                .agg(
+                    F.countDistinct("conv_id").alias("dc"),
+                    F.sum("n_text").alias("n_text"),
+                )
+                .collect()
             }
-        )
-        wh.write_append_arrow("agg_sink_counts", counts_tbl, lineage=lineage)
-        mark("aggs_shared_partial")
-
-    # 8. atomic per-sink commits of the staged subtrees (the data was
-    #    written exactly once; committing is a rename)
-    for sink in cfg.sink_names:
-        subdir = os.path.join(staging, f"sink={sink}")
-        if os.path.isdir(subdir):
-            wh.commit_existing(
-                f"sink_{sink}",
-                subdir,
-                rows=sink_rows.get(sink, 0),
-                partition_by=["conv_bucket"],
+            wh.write_append(
+                partial.groupBy("conv_id", "role", "tool").agg(
+                    F.sum("n").alias("n"),
+                    F.sum("sum_latency_ms").alias("sum_latency_ms"),
+                    F.max("max_err_ms").alias("max_err_ms"),
+                ),
+                "agg_conv_role_tool",
                 lineage=lineage,
             )
-    shutil.rmtree(staging, ignore_errors=True)
+            partial.unpersist()
+            m.parse_miss = (
+                per_sink[cfg.default_sink]["n_text"] if cfg.default_sink in per_sink else 0
+            )
+            counts_tbl = pa.table(
+                {
+                    "sink": pa.array(list(per_sink), pa.string()),
+                    "n": pa.array([sink_rows[s] for s in per_sink], pa.int64()),
+                    "distinct_convs": pa.array(
+                        [per_sink[s]["dc"] for s in per_sink], pa.int64()
+                    ),
+                }
+            )
+            wh.write_append_arrow("agg_sink_counts", counts_tbl, lineage=lineage)
+            mark("aggs_shared_partial")
+
+        # 8. atomic per-sink commits of the staged subtrees (the data was
+        #    written exactly once; committing is a rename)
+        for sink in cfg.sink_names:
+            subdir = os.path.join(staging, f"sink={sink}")
+            if os.path.isdir(subdir):
+                wh.commit_existing(
+                    f"sink_{sink}",
+                    subdir,
+                    rows=sink_rows.get(sink, 0),
+                    partition_by=["conv_bucket"],
+                    lineage=lineage,
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     mark("commits")
 
     # 9. ledger LAST — the transaction commit point (driver-side Arrow

@@ -70,19 +70,30 @@ def sessionized_counts(
     )
 
 
+def committed_epochs(
+    wh: ParquetWarehouse, run_id: str, sinks: tuple[str, ...]
+) -> dict[int, set[str]]:
+    """{epoch: sinks already committed} for this run_id — ONE commit-log
+    scan covering every epoch, loaded at stream start (route_stream keeps
+    it in memory afterwards, so replay protection costs O(1) log scans per
+    query lifetime yet covers checkpoint-recreated streams that reuse a
+    run_id, not just the single epoch Structured Streaming itself can
+    replay)."""
+    out: dict[int, set[str]] = {}
+    for sink in sinks:
+        for c in wh.commits(f"sink_{sink}"):
+            lin = c.get("lineage", {})
+            if lin.get("run_id") == run_id and "epoch" in lin:
+                out.setdefault(lin["epoch"], set()).add(sink)
+    return out
+
+
 def committed_epoch_sinks(
     wh: ParquetWarehouse, run_id: str, epoch_id: int, sinks: tuple[str, ...]
 ) -> set[str]:
     """Sinks whose commit log already holds a (run_id, epoch) commit —
     the idempotence check for micro-batch replay."""
-    done: set[str] = set()
-    for sink in sinks:
-        for c in wh.commits(f"sink_{sink}"):
-            lin = c.get("lineage", {})
-            if lin.get("run_id") == run_id and lin.get("epoch") == epoch_id:
-                done.add(sink)
-                break
-    return done
+    return committed_epochs(wh, run_id, sinks).get(epoch_id, set())
 
 
 def route_batch(
@@ -92,8 +103,8 @@ def route_batch(
     epoch_id: int,
     role_dim: DataFrame | None = None,
     tool_dim: DataFrame | None = None,
-    check_replay: bool = True,
-) -> int:
+    done_sinks: set[str] | None = None,
+) -> list[str]:
     """One micro-batch of the T8 router. Exactly-once AND single-pass:
 
     - idempotent on epoch replay: Structured Streaming re-runs a failed
@@ -107,25 +118,30 @@ def route_batch(
       which per-sink commits are atomic renames. The previous shape — one
       filter+append action per sink — re-ran the parse 3x per epoch.
 
-    Returns the number of sinks committed this call (0 == full replay skip).
+    Returns the sinks committed by this call ([] == full replay skip).
 
-    ``check_replay``: the commit-log scan costs O(total commits); Structured
-    Streaming can only replay the single epoch in flight at a crash, so
-    route_stream passes check_replay=True for the FIRST micro-batch after a
-    (re)start and False afterwards — O(1) log scans per query lifetime
-    instead of per epoch.
+    ``done_sinks``: sinks already committed for this (run_id, epoch).
+    route_stream passes it from its in-memory index (loaded with ONE
+    commit-log scan at stream start via committed_epochs); standalone
+    callers may omit it and this function scans the log itself.
     """
     import os
     import shutil
     import uuid
 
     done = (
-        committed_epoch_sinks(wh, cfg.run_id, epoch_id, cfg.sink_names)
-        if check_replay
-        else set()
+        done_sinks
+        if done_sinks is not None
+        else committed_epoch_sinks(wh, cfg.run_id, epoch_id, cfg.sink_names)
     )
     if len(done) == len(cfg.sink_names):
-        return 0
+        # full replay skip — but still EXECUTE the batch (count is the
+        # cheapest total action): inside a stream the upstream stateful
+        # dropDuplicates only commits its state stores when the micro-batch
+        # plan runs, and Spark's BatchCommitTracker fails the query if a
+        # foreachBatch returns without consuming the batch
+        batch_df.count()
+        return []
     routed = (
         flatten_parsed(
             with_conv_bucket(
@@ -146,18 +162,23 @@ def route_batch(
         .withColumn("run_id", F.lit(f"epoch-{epoch_id}"))
     )
     staging = os.path.join(cfg.warehouse, "_staging", f"epoch-{uuid.uuid4().hex}")
-    routed.write.partitionBy("sink", "conv_bucket").parquet(staging)
-    lineage = {"run_id": cfg.run_id, "epoch": epoch_id}
-    committed = 0
-    for sink in cfg.sink_names:
-        subdir = os.path.join(staging, f"sink={sink}")
-        if sink in done or not os.path.isdir(subdir):
-            continue
-        wh.commit_existing(
-            f"sink_{sink}", subdir, partition_by=["conv_bucket"], lineage=lineage
-        )
-        committed += 1
-    shutil.rmtree(staging, ignore_errors=True)
+    committed: list[str] = []
+    try:
+        routed.write.partitionBy("sink", "conv_bucket").parquet(staging)
+        lineage = {"run_id": cfg.run_id, "epoch": epoch_id}
+        for sink in cfg.sink_names:
+            subdir = os.path.join(staging, f"sink={sink}")
+            if sink in done or not os.path.isdir(subdir):
+                continue
+            wh.commit_existing(
+                f"sink_{sink}", subdir, partition_by=["conv_bucket"], lineage=lineage
+            )
+            committed.append(sink)
+    finally:
+        # committed subtrees were MOVED out by commit_existing; on failure
+        # the leftover staging is garbage — a replayed epoch recomputes it,
+        # so cleanup cannot lose data and prevents unbounded _staging growth
+        shutil.rmtree(staging, ignore_errors=True)
     return committed
 
 
@@ -174,11 +195,16 @@ def route_stream(
     exactly-once / single-pass contract)."""
     wh = ParquetWarehouse(cfg.warehouse)
     deduped = stream.dropDuplicates(["conv_id", "turn_idx"])
-    first = {"v": True}
+    index: dict = {"v": None}  # epoch -> committed sinks; one log scan, lazy
 
     def _on_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        check, first["v"] = first["v"], False
-        route_batch(wh, cfg, batch_df, epoch_id, role_dim, tool_dim, check_replay=check)
+        if index["v"] is None:
+            index["v"] = committed_epochs(wh, cfg.run_id, cfg.sink_names)
+        done = index["v"].get(epoch_id, set())
+        committed = route_batch(
+            wh, cfg, batch_df, epoch_id, role_dim, tool_dim, done_sinks=done
+        )
+        index["v"].setdefault(epoch_id, set()).update(committed)
 
     writer = deduped.writeStream.foreachBatch(_on_batch).outputMode("append")
     if checkpoint_dir:
