@@ -174,3 +174,28 @@ def test_routes_json_and_validation(tmp_path):
         PipelineConfig(warehouse="/x", routes=(("a", "1=1"), ("a", "2=2")))
     with _pytest.raises(ValueError):  # invalid sink name
         PipelineConfig(warehouse="/x", routes=(("Bad-Name", "1=1"),))
+
+
+def test_load_config_sections_independent(tmp_path):
+    """A routes-only config keeps the built-in patterns; a patterns-only
+    config keeps the built-in routes; both from ONE file read."""
+    import json
+
+    from watchman_spark.config import (
+        DEFAULT_PATTERNS,
+        DEFAULT_ROUTES,
+        DEFAULT_SINK,
+        load_config,
+        patterns_to_json,
+    )
+
+    p = tmp_path / "routes_only.json"
+    p.write_text(json.dumps({"routes": [{"sink": "errors", "when": "1=1"}]}))
+    patterns, routes, default = load_config(str(p))
+    assert patterns == DEFAULT_PATTERNS
+    assert routes == (("errors", "1=1"),) and default == DEFAULT_SINK
+
+    q = tmp_path / "patterns_only.json"
+    q.write_text(patterns_to_json(DEFAULT_PATTERNS))
+    patterns, routes, default = load_config(str(q))
+    assert patterns == DEFAULT_PATTERNS and routes == DEFAULT_ROUTES
