@@ -124,6 +124,11 @@ def route_batch(
     route_stream passes it from its in-memory index (loaded with ONE
     commit-log scan at stream start via committed_epochs); standalone
     callers may omit it and this function scans the log itself.
+
+    Contract: (run_id, epoch) identifies a batch's CONTENT. Replays from
+    the same checkpoint (and full re-reads of a static source) satisfy
+    this; a stream over a source that changed since the last run must use
+    a fresh run_id, otherwise its epochs would be wrongly skipped.
     """
     import os
     import shutil
