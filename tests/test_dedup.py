@@ -8,6 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from watchman_spark.operators.dedup import (
+    DEFAULT_MAX_BUCKET,
+    DEFAULT_MAX_DF,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -104,8 +106,11 @@ def test_df_cap_bounds_hot_shingle_fanout(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
 
     # candidate fan-out, observed via threshold≈0: every pair sharing >=1
-    # shingle survives. Uncapped, the hot 3-gram links all 201 docs.
-    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.01).count()
+    # shingle survives. Uncapped (explicit max_df=None opt-out), the hot
+    # 3-gram links all 201 docs.
+    uncapped = ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.01, max_df=None
+    ).count()
     assert uncapped == 201 * 200 // 2
     capped_all = ngram_jaccard_pairs(
         df, "doc_id", "text", k=3, threshold=0.01, max_df=10
@@ -140,6 +145,48 @@ def test_minhash_bucket_cap_keeps_recall(spark):
     for i, _ in base:
         assert (i, i + 1000) in found  # true pairs: unchanged recall
     assert not any(a >= 5000 for a, _ in found)  # hot cluster capped out
+
+
+def test_default_call_is_scale_capped(spark):
+    """Round-3 contract: the NAIVE call (no cap argument) must be the
+    scale-safe one. A stop-shingle with document frequency above
+    DEFAULT_MAX_DF is dropped without being asked; unbounded semantics now
+    require the explicit ``max_df=None`` opt-out."""
+    assert DEFAULT_MAX_DF is not None and DEFAULT_MAX_BUCKET is not None
+
+    n = DEFAULT_MAX_DF + 201  # hot-shingle df comfortably above the cap
+    rows = [(i, f"common stop words unique{i} tail{i}") for i in range(n)]
+    rows.append((900_000, rows[7][1]))  # exact duplicate of doc 7
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # default call: the hot 3-gram ("common stop words", df=n+1) is capped
+    # out, so candidates collapse from O(n²) (~720k pairs) to the true pair
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.8).collect()
+    }
+    assert out == {(7, 900_000): 1.0}
+
+
+def test_default_bucket_cap_bounds_lsh(spark):
+    """minhash_lsh_pairs default call caps a pathological band bucket: a
+    clone cluster larger than DEFAULT_MAX_BUCKET produces no O(b²) pair
+    explosion, while an ordinary duplicate pair keeps full recall."""
+    n_clones = DEFAULT_MAX_BUCKET + 20
+    rows = [(5000 + j, "hot cluster of identical clone text forever more") for j in range(n_clones)]
+    rows += [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1000, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", k=3, n_hashes=16, bands=8, threshold=0.99
+        ).collect()
+    }
+    assert (0, 1000) in found  # true pair: unchanged recall
+    assert not any(a >= 5000 for a, _ in found)  # clone cluster capped out
 
 
 def test_lsh_bands_guarantee(spark):

@@ -54,6 +54,58 @@ def test_text_equality_audit_distributed(spark, wh):
     }
 
 
+def test_chunked_digest_equals_grouped_digest(spark):
+    """Property: conv_digests_chunked (mapInPandas with carry — no pandas
+    frame ever holds a whole conversation) is byte-identical to the
+    grouped-map conv_digests on random conversations with nulls and
+    shuffled input row order."""
+    import random
+
+    rng = random.Random(77)
+    rows = []
+    for c in range(10):
+        for i in range(rng.randrange(1, 40)):
+            text = None if rng.random() < 0.1 else f"c{c} turn{i} {rng.random():.6f}"
+            rows.append((f"conv{c}", i, text))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    grouped = {r["conv_id"]: (r["digest"], r["n_turns"]) for r in inv.conv_digests(df).collect()}
+    chunked = {
+        r["conv_id"]: (r["digest"], r["n_turns"])
+        for r in inv.conv_digests_chunked(df, n_partitions=3).collect()
+    }
+    assert chunked == grouped and len(chunked) == 10
+
+
+def test_chunked_digest_giant_conversation_tiny_batches(spark):
+    """A 500k-turn conversation digested under a FORCED tiny Arrow batch
+    (1000 rows — so the carry crosses ~500 batch boundaries) must equal the
+    locally computed single-shot sha256. This is the scale scenario that
+    would OOM the grouped-map path's single pandas frame at 10^12 scale."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    n = 500_000
+    df = spark.range(n).select(
+        F.lit("hot").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    expected = hashlib.sha256(
+        "\x1f".join(f"t{i}" for i in range(n)).encode()
+    ).hexdigest()
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+    try:
+        rows = inv.conv_digests_chunked(df, n_partitions=4).collect()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(rows) == 1
+    assert rows[0]["digest"] == expected and rows[0]["n_turns"] == n
+
+
 def test_digest_mismatches_counts(spark):
     a = spark.createDataFrame(
         [("c1", "d1"), ("c2", "dX"), ("c3", "d3")], ["conv_id", "digest"]

@@ -171,6 +171,60 @@ def test_stream_resume_no_duplicates(spark, source_dir, tmp_path_factory):
     assert after == before
 
 
+def test_mid_epoch_crash_then_restart_exactly_once(spark, source_dir, tmp_path_factory, monkeypatch):
+    """End-to-end crash-replay through the REAL streaming machinery: a
+    foreachBatch that dies AFTER the first sink commit of an epoch (the
+    worst partial-failure point — some sinks durable, some not), then the
+    query is RESTARTED from the same checkpoint. Structured Streaming
+    replays the failed epoch; the router's commit-log index must skip the
+    already-committed sink and commit only the missing ones, so the final
+    counts equal an uninterrupted run. (Round-2 proved this with direct
+    route_batch calls; this drives it through query start → crash →
+    restart, the path a production supervisor actually takes.)"""
+    from pyspark.errors import StreamingQueryException
+
+    from watchman_spark.sources import warehouse as wh_mod
+
+    root = str(tmp_path_factory.mktemp("crash_wh"))
+    ck = str(tmp_path_factory.mktemp("crash_ck"))
+    cfg = PipelineConfig(warehouse=root, n_buckets=8, run_id="crash-replay")
+    wh = ParquetWarehouse(root)
+
+    real_commit = wh_mod.ParquetWarehouse.commit_existing
+    state = {"commits": 0}
+
+    def dying_commit(self, *a, **kw):
+        out = real_commit(self, *a, **kw)
+        state["commits"] += 1
+        if state["commits"] == 1:
+            raise RuntimeError("injected crash after first sink commit")
+        return out
+
+    monkeypatch.setattr(wh_mod.ParquetWarehouse, "commit_existing", dying_commit)
+    stream = read_transcript_stream(spark, source_dir, max_files_per_trigger=100)
+    q = route_stream(spark, stream, cfg, role_dim(spark), tool_dim(spark),
+                     checkpoint_dir=ck, trigger_once=True)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(300)
+
+    # exactly one sink is durable, the epoch is incomplete
+    committed = [s for s in SINKS if wh.table_rows(f"sink_{s}") > 0]
+    assert len(committed) == 1
+
+    # restart from the SAME checkpoint with the injection removed
+    monkeypatch.setattr(wh_mod.ParquetWarehouse, "commit_existing", real_commit)
+    stream2 = read_transcript_stream(spark, source_dir, max_files_per_trigger=100)
+    q2 = route_stream(spark, stream2, cfg, role_dim(spark), tool_dim(spark),
+                      checkpoint_dir=ck, trigger_once=True)
+    q2.awaitTermination(300)
+
+    golden = compute_golden(PARAMS)
+    got = {s: wh.table_rows(f"sink_{s}") for s in SINKS}
+    assert got == golden["per_sink"]  # no loss, no double-append
+    # and the survivor sink has exactly ONE commit (replay skipped it)
+    assert len(wh.commits(f"sink_{committed[0]}")) == 1
+
+
 def test_fresh_checkpoint_same_run_id_no_duplicates(spark, source_dir, tmp_path_factory):
     """A stream restarted with a CLEARED checkpoint but the same run_id and
     warehouse re-sees every file as a new epoch (0..N again); the router's

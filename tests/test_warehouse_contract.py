@@ -1,0 +1,191 @@
+"""Backend-parametrized warehouse CONTRACT suite (round-3 task: make the
+Iceberg surface testable). The pipeline relies on exactly four storage
+semantics (BASELINE.json:6/14 — Iceberg input + per-sink Iceberg tables,
+resumable with lineage):
+
+  1. atomic visibility — an append is all-or-nothing; data files staged by
+     a crashed writer are invisible to readers;
+  2. snapshot read — read(snapshot=s) returns exactly the rows committed
+     at or before s, immune to later appends;
+  3. incremental read — read(from_snapshot=s) returns exactly the rows
+     appended after s (the resume/CDC path);
+  4. lineage round-trip — commit metadata (run_id, buckets, ...) written
+     with an append is recoverable from that commit/snapshot.
+
+One suite, two backends: ParquetWarehouse (runs here) and IcebergBackend
+(runs wherever an iceberg-spark-runtime jar is on the classpath;
+skip-marked with the reason in this sandbox — no jar exists and none can
+be downloaded, SURVEY.md §0 [ENV]). The adapter below narrows both
+backends to the same five calls so the test bodies are backend-agnostic.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from watchman_spark.sources.warehouse import IcebergBackend, ParquetWarehouse
+
+
+def _has_iceberg_jar() -> bool:
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    return bool(glob.glob(os.path.join(jars, "iceberg-spark-runtime*.jar")))
+
+
+class ParquetAdapter:
+    """ParquetWarehouse narrowed to the contract surface."""
+
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.wh = ParquetWarehouse(root)
+
+    def append(self, df, table: str, lineage: dict | None = None) -> None:
+        self.wh.write_append(df, table, lineage=lineage)
+
+    def read(self, table: str, snapshot=None, from_snapshot=None):
+        return self.wh.read(
+            self.spark, table, snapshot=snapshot, from_snapshot=from_snapshot
+        )
+
+    def snapshots(self, table: str) -> list[int]:
+        return [c["id"] for c in self.wh.commits(table)]
+
+    def lineage_of(self, table: str, snapshot: int) -> dict:
+        return next(
+            c["lineage"] for c in self.wh.commits(table) if c["id"] == snapshot
+        )
+
+    def plant_uncommitted_garbage(self, table: str, df) -> None:
+        """Simulate a writer that crashed between staging data files and
+        the commit: files exist under the table's data area but no commit
+        references them."""
+        orphan = os.path.join(self.wh._tdir(table), "data", "orphan-crashed")
+        df.write.mode("overwrite").parquet(orphan)
+
+
+class IcebergAdapter:
+    """IcebergBackend narrowed to the same surface. Exercised only when an
+    iceberg-spark-runtime jar is present (a real deployment runs this suite
+    once against its catalog before trusting the backend)."""
+
+    def __init__(self, spark, catalog: str = "local", namespace: str = "contract"):
+        self.spark = spark
+        self.be = IcebergBackend(catalog, namespace)
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.be.prefix}")
+
+    def append(self, df, table: str, lineage: dict | None = None) -> None:
+        name = f"{self.be.prefix}.{table}"
+        if not self.spark.catalog.tableExists(name):
+            df.limit(0).writeTo(name).create()
+        self.be.write_append(df, table, lineage=lineage)
+
+    def read(self, table: str, snapshot=None, from_snapshot=None):
+        return self.be.read(
+            self.spark, table, snapshot=snapshot, from_snapshot=from_snapshot
+        )
+
+    def snapshots(self, table: str) -> list[int]:
+        return self.be.snapshots(self.spark, table)
+
+    def lineage_of(self, table: str, snapshot: int) -> dict:
+        import json as _json
+
+        rows = self.spark.sql(
+            f"SELECT summary FROM {self.be.prefix}.{table}.snapshots "
+            f"WHERE snapshot_id = {snapshot}"
+        ).collect()
+        summary = rows[0]["summary"]
+        return {
+            k: _json.loads(v)
+            for k, v in summary.items()
+            if k in ("run_id", "buckets", "epoch")
+        }
+
+    def plant_uncommitted_garbage(self, table: str, df) -> None:
+        loc = (
+            self.spark.sql(f"DESCRIBE EXTENDED {self.be.prefix}.{table}")
+            .filter(F.col("col_name") == "Location")
+            .collect()[0]["data_type"]
+        )
+        df.write.mode("overwrite").parquet(os.path.join(loc, "data", "orphan-crashed"))
+
+
+BACKENDS = [
+    "parquet",
+    pytest.param(
+        "iceberg",
+        marks=pytest.mark.skipif(
+            not _has_iceberg_jar(),
+            reason="no iceberg-spark-runtime jar in this sandbox and no "
+            "network to fetch one (SURVEY.md §0 [ENV]); the suite is "
+            "backend-complete — run it on a cluster with the jar",
+        ),
+    ),
+]
+
+
+@pytest.fixture(params=BACKENDS)
+def be(request, spark, tmp_path_factory):
+    if request.param == "parquet":
+        return ParquetAdapter(spark, str(tmp_path_factory.mktemp("contract_wh")))
+    return IcebergAdapter(spark)
+
+
+def _batch(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+
+
+def _keys(df) -> set[int]:
+    return {r["k"] for r in df.select("k").collect()}
+
+
+def test_atomic_visibility(spark, be):
+    """An append is all-or-nothing, and a crashed writer's staged-but-
+    uncommitted files are invisible (the property the single-pass fan-out's
+    staging + rename commit depends on)."""
+    be.append(_batch(spark, 0, 10), "t_atomic")
+    assert _keys(be.read("t_atomic")) == set(range(10))
+    be.plant_uncommitted_garbage("t_atomic", _batch(spark, 100, 110))
+    assert _keys(be.read("t_atomic")) == set(range(10))  # garbage invisible
+
+
+def test_snapshot_read(spark, be):
+    """read(snapshot=s) is immune to appends after s (the audit-job and
+    reproducible-rerun property)."""
+    be.append(_batch(spark, 0, 5), "t_snap")
+    s1 = be.snapshots("t_snap")[-1]
+    be.append(_batch(spark, 5, 12), "t_snap")
+    assert _keys(be.read("t_snap", snapshot=s1)) == set(range(5))
+    assert _keys(be.read("t_snap")) == set(range(12))
+
+
+def test_incremental_read(spark, be):
+    """read(from_snapshot=s) yields exactly the rows appended after s —
+    the resume/incremental-processing path (SURVEY.md §2.1 S2)."""
+    be.append(_batch(spark, 0, 5), "t_incr")
+    s1 = be.snapshots("t_incr")[-1]
+    be.append(_batch(spark, 5, 9), "t_incr")
+    s2 = be.snapshots("t_incr")[-1]
+    be.append(_batch(spark, 9, 14), "t_incr")
+    assert _keys(be.read("t_incr", from_snapshot=s2)) == set(range(9, 14))
+    assert _keys(be.read("t_incr", snapshot=s2, from_snapshot=s1)) == set(range(5, 9))
+
+
+def test_lineage_roundtrip(spark, be):
+    """Commit metadata written with an append is recoverable from that
+    commit — what makes per-partition progress auditable and replay
+    detection possible (BASELINE.json:14 'lineage + metrics')."""
+    lin = {"run_id": "contract-run", "buckets": [1, 2, 3]}
+    be.append(_batch(spark, 0, 3), "t_lineage", lineage=lin)
+    snap = be.snapshots("t_lineage")[-1]
+    got = be.lineage_of("t_lineage", snap)
+    assert got["run_id"] == "contract-run"
+    assert list(got["buckets"]) == [1, 2, 3]

@@ -72,12 +72,15 @@ DEFAULT_PATTERNS: tuple[GrokPattern, ...] = (
         types={"err_ms": "int"},
     ),
 )
-# Prefilters are deliberately OFF for the default registry: the synthetic
-# transcript mix routes ~40% of rows to a pattern, and at that density the
-# mask/subset/reindex overhead outweighs the skipped regex work (measured
-# A/B). Set prefilter="..." per pattern for production corpora where most
-# lines match nothing — there the literal gate skips the regex for the
-# majority of rows.
+# Prefilters are deliberately OFF for the default registry, and the A/B is
+# now measured at BOTH densities (BENCH/PREFILTER.md, 10M rows, both
+# engines): ~40% match — noise-level (1.03-1.07x); ~2% log-typical sparse
+# match — a small LOSS (0.89-0.95x). Reason: these regexes are anchored on
+# literals ("[tool:", "ERROR E"), so a failed regex search is already one
+# linear scan with a literal-prefix fast path in both engines; the
+# contains() gate re-scans the same bytes. Reach for prefilter="..." only
+# when a pattern's failure path is super-linear (backtracking-prone, no
+# literal anchor) — and re-measure with `python bench.py --prefilter-ab`.
 
 # Output routing is DATA too (BASELINE.json:6 "mirroring watchman's
 # configurable output routing"): an ordered list of (sink_name, SQL

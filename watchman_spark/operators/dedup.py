@@ -22,6 +22,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+# Scale-safe DEFAULTS (round-3 change: the caps used to be opt-in, which
+# left the naive call quadratic — the 100-TB-safe behavior must be the
+# default, and unbounded semantics the explicit opt-out via ``None``).
+# Sizing: a shingle/bucket key shared by d documents fans out d(d-1)/2
+# candidate pairs; 1000 caps a single key at ~500k pairs (one task's worth)
+# while real near-duplicate groups — which these operators exist to find —
+# are far smaller; keys hotter than that are stop-shingles / degenerate
+# clusters that carry no dedup signal (recall tests: test_dedup.py).
+DEFAULT_MAX_DF = 1000
+DEFAULT_MAX_BUCKET = 500
+
 
 def _reused(df: DataFrame) -> DataFrame:
     """Persist an intermediate that appears on multiple branches of the
@@ -87,17 +98,18 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 5,
     threshold: float = 0.6,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Exact jaccard over word-k-gram shingle sets for candidate pairs that
     share at least one shingle. Returns (id_a, id_b, jaccard).
 
     ``max_df`` caps shingle document frequency BEFORE the self-join (hot
     shingles are dropped from the shingle sets entirely, like stopword
-    removal — jaccard is then over rare shingles). max_df=None keeps exact
-    full-set jaccard; at web scale set it so the join fan-out is bounded by
-    n_shingles·max_df² (tests/test_dedup.py plants a stop-shingle and
-    asserts true-pair recall is unchanged)."""
+    removal — jaccard is then over rare shingles). The DEFAULT is the
+    scale-safe capped path (join fan-out bounded by n_shingles·max_df²);
+    pass ``max_df=None`` explicitly for exact full-set jaccard semantics
+    (tests/test_dedup.py plants a stop-shingle and asserts true-pair recall
+    is unchanged under the default cap)."""
     base = shingle_table(df, id_col, text_col, k)
     if max_df is not None:
         # persist BEFORE the df-count + anti-join: both sides of
@@ -148,7 +160,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.6,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash + banded LSH candidates, verified with exact jaccard.
 
@@ -162,7 +174,8 @@ def minhash_lsh_pairs(
     bucket only loses pairs whose EVERY matching band is hot — with
     ``bands`` independent chances per pair, true near-dups survive through
     any non-hot band (recall asserted in tests/test_dedup.py). The exact
-    jaccard verify below is unaffected (full shingle sets).
+    jaccard verify below is unaffected (full shingle sets). The capped path
+    is the DEFAULT; pass ``max_bucket=None`` to opt out of the bound.
     """
     rows = n_hashes // bands
     sigs = _reused(minhash_signatures(df, id_col, text_col, k, n_hashes))
@@ -254,12 +267,13 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by simhash: band-bucket candidates (a pair within
     hamming distance d < bands must agree exactly on >= 1 band), then exact
     hamming verify via popcount of xor. ``max_bucket`` caps band-bucket size
-    before the self-join (same rationale as minhash_lsh_pairs)."""
+    before the self-join (same rationale as minhash_lsh_pairs; capped by
+    default, ``None`` opts out)."""
     width = 64 // bands
     sims = _reused(
         df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim"))

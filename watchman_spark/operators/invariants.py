@@ -83,6 +83,68 @@ def conv_digests(df: DataFrame) -> DataFrame:
     )
 
 
+def conv_digests_chunked(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Scale-safe variant of conv_digests: NO single pandas frame ever holds
+    a whole conversation (applyInPandas materializes each group — a 10⁷-turn
+    pathological conversation at 10^12 scale would OOM one Python worker).
+
+    Shape: hash-partition by conv_id (a conversation never spans partitions),
+    sortWithinPartitions(conv_id, turn_idx), then ONE mapInPandas pass that
+    streams Arrow batches in partition order carrying a running
+    hashlib.sha256 per current conversation across batch boundaries. sha256
+    is incremental, so feeding it text⟨0⟩, '\\x1f', text⟨1⟩, ... chunk by
+    chunk produces byte-identical digests to conv_digests' single-shot
+    sha256('\\x1f'.join(texts)) — property-tested in tests/test_invariants.py,
+    including under a forced tiny Arrow batch size on a 500k-turn
+    conversation. Peak Python memory is one Arrow batch, independent of
+    conversation size."""
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+
+    def stream(batches):
+        cur_id: str | None = None
+        cur_hash = None
+        cur_n = 0
+        out: dict[str, list] = {"conv_id": [], "digest": [], "n_turns": []}
+
+        def emit() -> None:
+            out["conv_id"].append(cur_id)
+            out["digest"].append(cur_hash.hexdigest())
+            out["n_turns"].append(cur_n)
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # batches arrive in partition order, rows sorted by
+            # (conv_id, turn_idx); groupby(sort=False) keeps that order and
+            # each group's texts are joined at C speed — the per-batch
+            # python cost is one iteration per DISTINCT conversation
+            for conv_id, g in pdf.groupby("conv_id", sort=False):
+                if conv_id != cur_id:
+                    if cur_id is not None:
+                        emit()
+                    cur_id, cur_hash, cur_n = conv_id, hashlib.sha256(), 0
+                elif cur_n > 0:
+                    cur_hash.update(b"\x1f")
+                joined = "\x1f".join(
+                    NULL_SENTINEL if t is None else t for t in g["text"]
+                )
+                cur_hash.update(joined.encode("utf-8"))
+                cur_n += len(g)
+            if out["conv_id"]:
+                yield pd.DataFrame(out)
+                out = {"conv_id": [], "digest": [], "n_turns": []}
+        if cur_id is not None:
+            emit()
+            yield pd.DataFrame(out)
+
+    return (
+        df.select("conv_id", "turn_idx", "text")
+        .repartition(n, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .mapInPandas(stream, "conv_id string, digest string, n_turns long")
+    )
+
+
 def text_equality_digests(
     spark: SparkSession, wh: ParquetWarehouse, sample_convs: list[str] | None = None
 ) -> dict[str, str]:
@@ -131,8 +193,10 @@ def text_equality_audit(spark: SparkSession, wh: ParquetWarehouse) -> dict:
     ordering"): per-conversation digests of union-of-sinks vs digests of the
     input table, compared distributively — only 3 counters reach the
     driver."""
-    routed = conv_digests(union_of_sinks(spark, wh, ["conv_id", "turn_idx", "text"]))
-    golden = conv_digests(
+    routed = conv_digests_chunked(
+        union_of_sinks(spark, wh, ["conv_id", "turn_idx", "text"])
+    )
+    golden = conv_digests_chunked(
         wh.read(spark, "transcripts", schema=TRANSCRIPT_SCHEMA).select(
             "conv_id", "turn_idx", "text"
         )

@@ -623,53 +623,63 @@ def setop_distinct(spark, sf_dir):
 
 
 # Driver-facing ordering. The correctness driver checks the FIRST ~50
-# registered queries (CORRECTNESS_r01 contained exactly the first 50), so
-# ordering is a verification-coverage decision, not cosmetics:
-#   1. _HEAD: the flagship pipeline + every query that was beyond the
-#      50-slot window in round 1 (zero driver signal so far) + queries
-#      fixed/added this round — these need a hard driver check most;
-#   2. remaining DuckDB-oracled queries in registration order (triple
-#      rows+schema+hash checks);
-#   3. _TAIL: low-information oracled queries already triple-green in
-#      CORRECTNESS_r01 (their hard signal exists on record);
-#   4. rows-only queries last (the driver records only a row count for
+# registered queries (CORRECTNESS_r01/r02 each contained exactly the first
+# 50), so ordering is a verification-coverage decision, not cosmetics.
+# Round-3 revision: a DATA-DRIVEN rotation replaces the hand-curated
+# _HEAD/_TAIL lists. The driver records each round's checked window in
+# CORRECTNESS_r{N}.json at the repo root; reading those files gives every
+# query's last-checked round, and ordering oracled queries STALEST-FIRST
+# (never-checked first, then ascending last-checked round, name as the
+# deterministic tie-break) guarantees that the queries falling outside the
+# window are exactly the ones checked most recently — so no oracled
+# query's driver signal is ever more than (n_oracled - window)/window
+# rounds old (7 dark slots / 50-query window: at most ONE dark round,
+# i.e. staleness <= 2 rounds). Self-maintaining: each new CORRECTNESS
+# file re-ranks automatically, and newly added oracled queries (never
+# checked) jump to the front of the window.
+#   1. the flagship pipeline first (always in-window);
+#   2. remaining DuckDB-oracled queries, stalest driver signal first;
+#   3. rows-only queries last (the driver records only a row count for
 #      them — the weakest signal, and each has a pytest instead).
-_HEAD = [
-    "pipeline_per_sink",
-    "scan_snapshot",
-    "scan_incremental",
-    "scan_snapshot_full",
-    "dedup_embedding_cosine",
-    "ann_brute_force",
-    "text_lang_id",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "fn_map",
-    "udf_p95_grouped_agg",
-]
-_TAIL = [
-    "fn_conditional",
-    "join_cross_small",
-    "agg_cube",
-    "setop_union",
-    "setop_except",
-    "setop_intersect",
-    "setop_distinct",
-]
+DRIVER_WINDOW = 50
+
+
+def _last_checked_round() -> dict[str, int]:
+    """query name -> latest round whose CORRECTNESS_r{N}.json contains it
+    (0 = never driver-checked)."""
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in data:
+            out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
 def _ordered_names() -> list[str]:
-    head = [n for n in _HEAD if n in REGISTRY]
-    tail = [n for n in _TAIL if n in REGISTRY]
-    placed = set(head) | set(tail)
-    oracled = [
-        n for n, qd in REGISTRY.items() if qd.oracle is not None and n not in placed
-    ]
-    rows_only = [
-        n for n, qd in REGISTRY.items() if qd.oracle is None and n not in placed
-    ]
-    return head + oracled + tail + rows_only
+    last = _last_checked_round()
+    flagship = [n for n in ("pipeline_per_sink",) if n in REGISTRY]
+    oracled = sorted(
+        (
+            n
+            for n, qd in REGISTRY.items()
+            if qd.oracle is not None and n not in flagship
+        ),
+        key=lambda n: (last.get(n, 0), n),
+    )
+    rows_only = sorted(n for n, qd in REGISTRY.items() if qd.oracle is None)
+    return flagship + oracled + rows_only
 
 
 def queries() -> dict[str, QueryFn]:

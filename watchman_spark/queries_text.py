@@ -92,9 +92,11 @@ _SHINGLE_CTE = f"""
         WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.8""",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    # max_df=None: the DuckDB oracle computes exact full-set jaccard, so the
+    # Spark side opts out of the (default-on) scale cap explicitly here
     return ngram_jaccard_pairs(
         _planted(spark, sf_dir), id_col="doc_id", text_col="text",
-        k=_SHINGLE_K, threshold=0.8,
+        k=_SHINGLE_K, threshold=0.8, max_df=None,
     ).select(F.col("id_a"), F.col("id_b"), "jaccard")
 
 

@@ -278,17 +278,46 @@ class IcebergBackend:
     """Real-Iceberg backend: identical interface, used when an Iceberg
     catalog is configured on the session (config-only; unverifiable in this
     sandbox because no iceberg-spark-runtime jar exists — SURVEY.md §0).
+    The semantics the pipeline relies on are pinned by the
+    backend-parametrized contract suite (tests/test_warehouse_contract.py):
+    it runs against ParquetWarehouse here and against this backend wherever
+    an iceberg-spark-runtime jar is on the classpath (skip-marked
+    otherwise), so a real deployment can verify the contract before
+    trusting it.
     """
 
     def __init__(self, catalog: str, namespace: str):
         self.prefix = f"{catalog}.{namespace}"
 
     def write_append(self, df: DataFrame, table: str, partition_by=None, lineage=None) -> dict:
-        df.writeTo(f"{self.prefix}.{table}").append()
+        writer = df.writeTo(f"{self.prefix}.{table}")
+        # lineage rides on the Iceberg snapshot as summary properties —
+        # the Iceberg analogue of the parquet commit log's lineage field
+        for k, v in (lineage or {}).items():
+            writer = writer.option(f"snapshot-property.{k}", json.dumps(v))
+        writer.append()
         return {"table": table, "lineage": lineage or {}}
 
     def read(self, spark: SparkSession, table: str, schema=None, snapshot=None, from_snapshot=None):
+        name = f"{self.prefix}.{table}"
+        if from_snapshot is not None:
+            # Iceberg incremental scan: rows appended in (from, end]
+            reader = spark.read.format("iceberg").option(
+                "start-snapshot-id", from_snapshot
+            )
+            if snapshot is not None:
+                reader = reader.option("end-snapshot-id", snapshot)
+            return reader.load(name)
         reader = spark.read
         if snapshot is not None:
             reader = reader.option("snapshot-id", snapshot)
-        return reader.table(f"{self.prefix}.{table}")
+        return reader.table(name)
+
+    def snapshots(self, spark: SparkSession, table: str) -> list[int]:
+        """Snapshot ids ascending by commit time (the contract suite's
+        snapshot accessor; parquet analogue: commit ids)."""
+        rows = spark.sql(
+            f"SELECT snapshot_id FROM {self.prefix}.{table}.snapshots "
+            "ORDER BY committed_at"
+        ).collect()
+        return [r["snapshot_id"] for r in rows]
