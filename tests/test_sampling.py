@@ -1,0 +1,122 @@
+"""Reproducible sampling / split assignment / sequence packing
+(operators/sampling.py): determinism, engine portability of the hash
+predicate, split totality, and the packing invariants."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from watchman_spark.operators import sampling
+from watchman_spark.operators.sampling import (
+    frac_to_hex_threshold,
+    hash_sample,
+    pack_sequences,
+    with_split,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(20_000).select(F.col("id").alias("doc_id")).cache()
+
+
+def test_hash_sample_deterministic_and_sized(spark, ids):
+    a = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.1).collect()}
+    b = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.1).collect()}
+    assert a == b  # same rows every run — not rand()
+    # realized fraction within 4 sigma of binomial noise around 6554/65536
+    p = round(0.1 * 65536) / 65536
+    n = 20_000
+    sigma = (n * p * (1 - p)) ** 0.5
+    assert abs(len(a) - n * p) < 4 * sigma
+    # nested fractions: the 5% sample is a SUBSET of the 10% sample (hex
+    # thresholds are ordered), which is what makes sample sizes tunable
+    # without reshuffling which rows are selected
+    small = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.05).collect()}
+    assert small < a
+
+
+def test_hash_sample_full_and_empty_fracs(spark, ids):
+    """Edge fracs: 1.0 selects EVERYTHING ('g' sorts after every hex digit
+    — the naive 5-char '10000' threshold would select ~nothing), 0.0
+    selects nothing."""
+    assert frac_to_hex_threshold(1.0) == "g"
+    assert hash_sample(ids, "doc_id", 1.0).count() == 20_000
+    assert hash_sample(ids, "doc_id", 0.0).count() == 0
+
+
+def test_hash_predicate_matches_python_md5(spark, ids):
+    """Engine portability: Spark's md5-hex-prefix decision equals hashlib's
+    for the same stringified key — the property that lets DuckDB (or any
+    engine) reproduce the exact sample."""
+    got = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.1).limit(5000).collect()}
+    thr = frac_to_hex_threshold(0.1)
+    for doc_id in list(got)[:200]:
+        assert hashlib.md5(str(doc_id).encode()).hexdigest()[:4] < thr
+
+
+def test_with_split_total_and_stable(spark, ids):
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = with_split(ids, "doc_id", splits)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 20_000  # total: every row exactly one split
+    assert set(counts) == set(splits)
+    for name, frac in splits.items():
+        assert abs(counts[name] - 20_000 * frac) < 4 * (20_000 * frac * (1 - frac)) ** 0.5
+    # stable under repartitioning (pure per-row map, no order dependence)
+    re = with_split(ids.repartition(13), "doc_id", splits)
+    assert out.exceptAll(re).count() == 0 and re.exceptAll(out).count() == 0
+
+
+def test_with_split_rejects_bad_fractions(spark, ids):
+    with pytest.raises(ValueError):
+        with_split(ids, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc in exactly one pack exactly once; capacity respected except
+    single oversized docs; deterministic across runs."""
+    n = 5_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # deterministic sizes 1..600 with a few oversized (> max_tokens)
+        (F.pmod(F.xxhash64("id"), F.lit(600)) + 1).alias("n_tok"),
+    )
+    max_tokens = 512
+    packs = pack_sequences(docs, "doc_id", "n_tok", max_tokens, n_buckets=8).collect()
+    seen: list[int] = []
+    for p in packs:
+        ids_ = list(p["doc_ids"])
+        assert p["n_docs"] == len(ids_)
+        assert p["total_tokens"] <= max_tokens or len(ids_) == 1  # oversized alone
+        seen.extend(ids_)
+    assert sorted(seen) == list(range(n))  # exactly once each
+    # token conservation
+    want_total = docs.agg(F.sum("n_tok")).collect()[0][0]
+    assert sum(p["total_tokens"] for p in packs) == want_total
+    # determinism
+    again = pack_sequences(docs, "doc_id", "n_tok", max_tokens, n_buckets=8).collect()
+    assert sorted((p["pack_id"], tuple(p["doc_ids"])) for p in again) == sorted(
+        (p["pack_id"], tuple(p["doc_ids"])) for p in packs
+    )
+    # FFD actually packs: mean fill of multi-doc packs is high
+    fills = [p["fill_ratio"] for p in packs if p["total_tokens"] <= max_tokens]
+    assert sum(fills) / len(fills) > 0.8
+
+
+def test_pack_query_driver_shape(spark):
+    """The registered pack_sequences query exposes only canonicalizable
+    scalars (doc_ids as JSON, not a raw array cell)."""
+    from watchman_spark.queries_text import pack_sequences_q
+
+    out = pack_sequences_q(spark, "/root/testdata/sf0.001")
+    kinds = dict(out.dtypes)
+    assert kinds["doc_ids_json"] == "string"
+    row = out.limit(1).collect()[0]
+    assert json.loads(row["doc_ids_json"]) == list(json.loads(row["doc_ids_json"]))

@@ -1,0 +1,197 @@
+"""Reproducible sampling, split assignment, and sequence packing for
+training-data pipelines.
+
+Why hash-based and not rand(): at 100 TB a sample/split must be (a)
+deterministic across reruns and engines (a rerun of the pipeline or an
+audit in another engine must select the SAME rows — rand() cannot), (b) a
+pure per-row map (no shuffle, no state), and (c) stable under
+repartitioning. The standard trick is to hash a stable key and threshold
+the hash. We use the md5 HEX PREFIX (not a mod over a decimal conversion)
+so the exact same predicate is expressible in ANSI SQL everywhere —
+``substr(md5(key), 1, 4) < '1999'`` behaves identically in Spark, DuckDB,
+Trino, BigQuery — which is what makes the driver's DuckDB oracle exact.
+
+Granularity: 4 hex chars = 65,536 buckets, so a requested fraction is
+realized as round(frac * 65536) / 65536 (worst-case error 1/131072 of the
+population, exact thresholds documented per call).
+
+Sequence packing (``pack_sequences``) is the standard LLM-pretraining step
+of concatenating documents into fixed-size context windows: a distributed
+first-fit-decreasing bin packer — documents are hash-bucketed (a pure map),
+each bucket is packed independently inside one Arrow batch, and the result
+is (pack_id, doc order, token sum, utilization). Packing quality is a
+bucket-local property (FFD is within 11/9·OPT+1 bins of optimal per
+bucket); cross-bucket packing would need a global shuffle-and-sort for a
+~2% utilization gain — the wrong trade at 10^12 tokens.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_WIDTH = 4  # 16^4 = 65,536 sampling buckets
+_SCALE = 16 ** HEX_WIDTH
+
+
+def _hex_prefix(key: Column) -> Column:
+    """First HEX_WIDTH chars of md5 of the key rendered as a string.
+
+    The key is cast to string FIRST (int 123 hashes as '123') so any engine
+    reproduces the bytes being hashed."""
+    return F.substring(F.md5(key.cast("string").cast("binary")), 1, HEX_WIDTH)
+
+
+def frac_to_hex_threshold(frac: float) -> str:
+    """The string t such that P[hex_prefix < t] = round(frac*2^16)/2^16.
+
+    frac=1.0 returns 'g' — lexicographically after every hex digit, so the
+    predicate selects everything (the naive format would yield the 5-char
+    '10000', which sorts BELOW 'ffff' and selects almost nothing)."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    v = round(frac * _SCALE)
+    if v >= _SCALE:
+        return "g"
+    return format(v, f"0{HEX_WIDTH}x")
+
+
+def hash_sample(df: DataFrame, key_col: str, frac: float) -> DataFrame:
+    """Deterministic, engine-portable ~``frac`` sample keyed on ``key_col``.
+
+    Pure map-side filter: survives reruns, repartitioning, and engine
+    changes; sampling the same table twice with the same frac returns the
+    identical row set (unlike df.sample). Rows with equal keys are kept or
+    dropped together — key on a document/conversation id to keep logical
+    units intact."""
+    return df.filter(_hex_prefix(F.col(key_col)) < frac_to_hex_threshold(frac))
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test...) by
+    consecutive hex-prefix ranges — deterministic, total, and portable.
+
+    ``splits`` maps name -> fraction; fractions must sum to 1.0 (each is
+    realized at 1/65536 granularity; the LAST split absorbs the rounding
+    remainder so the assignment stays total)."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    prefix = _hex_prefix(F.col(key_col))
+    expr: Column | None = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = prefix < F.lit(frac_to_hex_threshold(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
+
+
+def split_boundaries_sql(key_sql: str, splits: dict[str, float]) -> str:
+    """The ANSI-SQL CASE expression equivalent to with_split — shared with
+    the DuckDB oracle so Spark and the oracle can never disagree on
+    thresholds."""
+    prefix = f"substr(md5(CAST({key_sql} AS VARCHAR)), 1, {HEX_WIDTH})"
+    names = list(splits)
+    acc = 0.0
+    arms = []
+    for name in names[:-1]:
+        acc += splits[name]
+        arms.append(f"WHEN {prefix} < '{frac_to_hex_threshold(acc)}' THEN '{name}'")
+    if not arms:
+        return f"'{names[-1]}'"
+    return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    max_tokens: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Distributed first-fit-decreasing sequence packing.
+
+    Returns one row per pack: (pack_id string, doc_ids array<long> in pack
+    order, n_docs, total_tokens, fill_ratio). Invariants (pytested):
+    every input id appears in exactly one pack exactly once; total_tokens
+    <= max_tokens unless the pack is a single oversized document (which is
+    emitted alone rather than dropped — the caller decides truncation).
+
+    Shape at scale: ONE shuffle (hash-bucket the ids), then packing is an
+    Arrow-batch-local loop over each bucket's (tokens, id) pairs — memory
+    per task is the bucket's id+token pairs only (16 bytes/doc), not the
+    documents. Determinism: bucket = pmod(xxhash64(id), n_buckets); FFD
+    order sorts by (-tokens, id); pack_id = "<bucket>/<seq>".
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("pack_id", StringType()),
+            StructField("doc_ids", ArrayType(LongType())),
+            StructField("n_docs", IntegerType()),
+            StructField("total_tokens", LongType()),
+            StructField("fill_ratio", DoubleType()),
+        ]
+    )
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        # null token counts arrive as NaN after Arrow; treat as 0 (the doc
+        # still gets packed — dropping it would break the exactly-once
+        # invariant) rather than crash the cast
+        items = sorted(
+            zip(pdf["__tok"].fillna(0).astype(int), pdf["__id"].astype(int)),
+            key=lambda t: (-t[0], t[1]),
+        )
+        bins: list[list[int]] = []  # doc ids per pack
+        sums: list[int] = []
+        for tok, doc in items:
+            placed = False
+            for i in range(len(bins)):
+                if sums[i] + tok <= max_tokens:
+                    bins[i].append(doc)
+                    sums[i] += tok
+                    placed = True
+                    break
+            if not placed:  # includes the single-oversized-doc case
+                bins.append([doc])
+                sums.append(tok)
+        return pd.DataFrame(
+            {
+                "pack_id": [f"{bucket}/{i}" for i in range(len(bins))],
+                "doc_ids": bins,
+                "n_docs": [len(b) for b in bins],
+                "total_tokens": sums,
+                "fill_ratio": [s / max_tokens for s in sums],
+            }
+        )
+
+    prepped = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(tokens_col).cast("long").alias("__tok"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_buckets))
+        .cast("int")
+        .alias("__bucket"),
+    )
+    return prepped.groupBy("__bucket").applyInPandas(pack, schema=out_schema)

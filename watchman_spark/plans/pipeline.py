@@ -15,8 +15,9 @@ shape at scale (the 10^12-turn argument, SURVEY.md §4):
   than simply writing once (the write IS the materialization);
 - aggregates are computed from the column-pruned read-back of the files
   just written (counts/rollup touch 3-5 narrow columns, a tiny fraction of
-  the bytes) as ONE shared-partial job whose skew salt is the physical
-  conv_bucket partitioning (see step 7);
+  the bytes) as two lean jobs — the rollup (skew salt = the physical
+  conv_bucket partitioning) and a one-column distinct-convs-per-sink pass —
+  with the per-sink text counter coming from parquet footers (see step 7);
 - routing is config-driven (config.py routes): ordered SQL rules, first
   match wins, catch-all default — sinks derive from cfg.sink_names;
 - per-bucket lineage (rows, conv_id min/max) comes from parquet footer
@@ -146,9 +147,11 @@ def run_pipeline(
         routed.write.partitionBy("sink", "conv_bucket").parquet(staging)
         mark("write")
 
-        # lineage from parquet footers — no extra scan
-        frag_stats = wh.dir_stats(staging, stat_col="conv_id")
+        # lineage AND the per-sink text counter from parquet footers — no
+        # extra scan (n_text per fragment = rows - null_count(text), exact)
+        frag_stats = wh.dir_stats(staging, stat_col="conv_id", notnull_col="text")
         sink_rows: dict[str, int] = dict.fromkeys(cfg.sink_names, 0)
+        sink_n_text: dict[str, int] = {}
         bucket_stats: dict[int, dict] = {}
         for fs in frag_stats:
             parts = dict(
@@ -157,6 +160,7 @@ def run_pipeline(
             sink = parts.get("sink")
             bucket = int(parts.get("conv_bucket", -1))
             sink_rows[sink] = sink_rows.get(sink, 0) + fs["rows"]
+            sink_n_text[sink] = sink_n_text.get(sink, 0) + (fs["notnull"] or 0)
             b = bucket_stats.setdefault(bucket, {"rows": 0, "min": None, "max": None})
             b["rows"] += fs["rows"]
             if fs["min"] is not None:
@@ -168,64 +172,52 @@ def run_pipeline(
         m.rows_per_sink = {s: sink_rows.get(s, 0) for s in cfg.sink_names}
         m.rows_in = sum(m.rows_per_sink.values())
 
-        # 7. aggregates from the column-pruned read-back of the STAGED tree —
-        #    ONE schema-provided read (no footer inference; 'sink' and
-        #    'conv_bucket' come back as hive partition columns), ONE scan, ONE
-        #    small shuffle feeding BOTH outputs. The shared partial
-        #    groupBy(sink, conv_id, role, tool) is the two-stage skew defense
-        #    with the PHYSICAL partitioning as the salt: the staged tree is
-        #    conv_bucket-partitioned (whole conversations co-located), so
-        #    Spark's map-side combine collapses even the hottest conversation
-        #    to one partial row per (role, tool) per partition BEFORE the
-        #    exchange — no reducer ever sees more than n_partitions rows per
-        #    key. An explicit salt here would be redundant work: measured at
-        #    18.7M turns, salt_n=16 multiplied the stage-1 shuffle ~16x and
-        #    made the rollup memory-bandwidth-bound (2 cores ≈ 8 cores wall —
-        #    the scaling-efficiency killer). salted_agg remains the operator
-        #    for inputs that are NOT already key-partitioned (agg_salted,
-        #    driver-verified), and conv_role_tool_rollup(salt_n=...) remains
-        #    for arbitrary inputs.
+        # 7. aggregates from the column-pruned read-back of the STAGED tree.
+        #    Two INDEPENDENT lean jobs (round-3 rewrite — the previous shape
+        #    persisted a ~5M-row shared partial and ran countDistinct over
+        #    it; the persist concentrated on one JVM at small cluster sizes
+        #    and made this phase the noisiest, worst-scaling stage of the
+        #    run, 5.7-22s at identical input on the scaling cluster):
+        #    (a) the conv/role/tool rollup — one scan of 5 data columns, one
+        #        partial-agg exchange, write. Map-side combine on the
+        #        conv_bucket-partitioned tree (whole conversations
+        #        co-located) is the skew defense: even the hottest
+        #        conversation collapses to one partial row per (role, tool)
+        #        per partition before the exchange. An explicit salt here
+        #        measured 16x the stage-1 shuffle volume and zero
+        #        core-scaling at 18.7M turns — salted_agg remains the
+        #        operator for inputs NOT already key-partitioned.
+        #    (b) distinct conversations per sink — 'sink' is a hive
+        #        partition column, so this scans ONE data column (conv_id);
+        #        map-side partial distinct bounds the exchange at
+        #        ~n_convs x n_sinks rows.
+        #    The per-sink text counter (parse_miss) now comes from the
+        #    parquet footers above — it costs nothing here.
         if m.rows_in > 0:
             agg_in = spark.read.schema(routed.schema).parquet(staging)
-            partial = (
-                agg_in.groupBy("sink", "conv_id", "role", "tool")
-                .agg(
+            wh.write_append(
+                agg_in.groupBy("conv_id", "role", "tool").agg(
                     F.count(F.lit(1)).alias("n"),
                     F.sum("latency_ms").alias("sum_latency_ms"),
                     F.max("err_ms").alias("max_err_ms"),
-                    F.count("text").alias("n_text"),
-                )
-                .persist()
-            )
-            per_sink = {
-                r["sink"]: r
-                for r in partial.groupBy("sink")
-                .agg(
-                    F.countDistinct("conv_id").alias("dc"),
-                    F.sum("n_text").alias("n_text"),
-                )
-                .collect()
-            }
-            wh.write_append(
-                partial.groupBy("conv_id", "role", "tool").agg(
-                    F.sum("n").alias("n"),
-                    F.sum("sum_latency_ms").alias("sum_latency_ms"),
-                    F.max("max_err_ms").alias("max_err_ms"),
                 ),
                 "agg_conv_role_tool",
                 lineage=lineage,
             )
-            partial.unpersist()
-            m.parse_miss = (
-                per_sink[cfg.default_sink]["n_text"] if cfg.default_sink in per_sink else 0
-            )
+            dc = {
+                r["sink"]: r["dc"]
+                for r in agg_in.select("sink", "conv_id")
+                .distinct()
+                .groupBy("sink")
+                .agg(F.count(F.lit(1)).alias("dc"))
+                .collect()
+            }
+            m.parse_miss = sink_n_text.get(cfg.default_sink, 0)
             counts_tbl = pa.table(
                 {
-                    "sink": pa.array(list(per_sink), pa.string()),
-                    "n": pa.array([sink_rows[s] for s in per_sink], pa.int64()),
-                    "distinct_convs": pa.array(
-                        [per_sink[s]["dc"] for s in per_sink], pa.int64()
-                    ),
+                    "sink": pa.array(list(dc), pa.string()),
+                    "n": pa.array([sink_rows[s] for s in dc], pa.int64()),
+                    "distinct_convs": pa.array([dc[s] for s in dc], pa.int64()),
                 }
             )
             wh.write_append_arrow("agg_sink_counts", counts_tbl, lineage=lineage)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators import multimodal, textstats
+from .operators import multimodal, sampling, textstats
 from .operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -269,6 +269,71 @@ def text_fingerprint(spark, sf_dir):
     return (
         d.filter(F.size(F.split("text", " ", -1)) >= 5)
         .select("doc_id", textstats.fingerprint(F.col("text"), k=5).alias("fp"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# reproducible sampling / split assignment / sequence packing
+# ---------------------------------------------------------------------------
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@register(
+    "sample_hash_det",
+    f"""SELECT doc_id FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              < '{sampling.frac_to_hex_threshold(0.1)}'""",
+)
+def sample_hash_det(spark, sf_dir):
+    """Deterministic engine-portable ~10% sample: the md5-hex-prefix
+    threshold predicate is the SAME SQL in Spark and DuckDB — this query
+    being triple-green IS the cross-engine reproducibility proof."""
+    d = t(spark, sf_dir, "documents")
+    return sampling.hash_sample(d, "doc_id", 0.1).select("doc_id")
+
+
+@register(
+    "split_assignment",
+    f"""SELECT {sampling.split_boundaries_sql('doc_id', _SPLITS)} AS split,
+               COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_id
+        FROM documents GROUP BY 1""",
+)
+def split_assignment(spark, sf_dir):
+    """Total train/val/test assignment (0.8/0.1/0.1) keyed on doc_id;
+    grouped to per-split counts + id range so the oracle checks both the
+    partition sizes and membership boundaries."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        sampling.with_split(d, "doc_id", _SPLITS)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+    )
+
+
+@register("pack_sequences", None)  # rows-only: FFD bin packing is not SQL
+def pack_sequences_q(spark, sf_dir):
+    """Sequence packing of documents into 512-token windows (whitespace
+    token counts). Driver-visible columns are canonicalizable scalars —
+    doc_ids is exposed as JSON (the fn_map lesson); invariants (every doc
+    exactly once, capacity respected) are pytested in tests/test_sampling.py."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.token_count_ws(F.col("text")).alias("n_tok")
+    )
+    packs = sampling.pack_sequences(
+        d, id_col="doc_id", tokens_col="n_tok", max_tokens=512, n_buckets=16
+    )
+    return packs.select(
+        "pack_id",
+        F.to_json("doc_ids").alias("doc_ids_json"),
+        "n_docs",
+        "total_tokens",
+        F.round("fill_ratio", 4).alias("fill_ratio"),
     )
 
 

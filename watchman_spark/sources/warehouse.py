@@ -192,25 +192,49 @@ class ParquetWarehouse:
         return sum(f.metadata.num_rows for f in ds.get_fragments())
 
     @staticmethod
-    def dir_stats(data_dir: str, stat_col: str | None = None) -> list[dict]:
-        """Per-fragment footer stats: hive partition path, num_rows, and
-        min/max of ``stat_col`` from row-group statistics — lineage without
-        a second scan."""
+    def dir_stats(
+        data_dir: str, stat_col: str | None = None, notnull_col: str | None = None
+    ) -> list[dict]:
+        """Per-fragment footer stats: hive partition path, num_rows, min/max
+        of ``stat_col``, and (when ``notnull_col`` is given) the non-null
+        value count of that column — all from row-group statistics/footers,
+        lineage and audit counters without a second scan."""
         ds = pa_ds.dataset(data_dir, format="parquet", partitioning="hive")
         out = []
         for frag in ds.get_fragments():
             rel = os.path.relpath(frag.path, data_dir)
             md = frag.metadata
             lo = hi = None
+            notnull = None
+            schema = md.schema.to_arrow_schema()
             if stat_col is not None:
-                idx = md.schema.to_arrow_schema().get_field_index(stat_col)
+                idx = schema.get_field_index(stat_col)
                 if idx >= 0:
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(idx).statistics
                         if st is not None and st.has_min_max:
                             lo = st.min if lo is None else min(lo, st.min)
                             hi = st.max if hi is None else max(hi, st.max)
-            out.append({"path": rel, "rows": md.num_rows, "min": lo, "max": hi})
+            if notnull_col is not None:
+                nidx = schema.get_field_index(notnull_col)
+                if nidx >= 0:
+                    notnull = 0
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(nidx).statistics
+                        rows = md.row_group(rg).num_rows
+                        if st is not None and st.has_null_count:
+                            notnull += rows - st.null_count
+                        else:  # pragma: no cover — parquet-mr always writes
+                            # null_count; if a foreign writer omitted it the
+                            # caller must not silently get a wrong counter
+                            raise ValueError(
+                                f"{frag.path}: row group {rg} lacks null_count "
+                                f"statistics for column {notnull_col!r}"
+                            )
+            out.append(
+                {"path": rel, "rows": md.num_rows, "min": lo, "max": hi,
+                 "notnull": notnull}
+            )
         return out
 
     def rollback_commit(self, table: str, commit_id: int) -> None:
