@@ -59,6 +59,28 @@ def punct_ratio(text: Column) -> Column:
     return F.length(clean) / F.length(text)
 
 
+# PII scrubbing for training corpora. Patterns deliberately use ONLY the
+# regex subset shared by java.util.regex and RE2 (no lookaround, no
+# backrefs) so the exact same strings run in Spark, DuckDB, Trino, Go —
+# a redaction pass must be reproducible across the audit engine too.
+# Order matters (email before phone: an email's digits must not be
+# half-eaten as a phone number); apply in PII_PATTERNS order.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+?\d{3}[- ]?\d{3}[- ]?\d{4}"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace each PII class with its <CLASS> placeholder, in registry
+    order; a pure chain of JVM regexp_replace (codegen, no Python)."""
+    out = text
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
 def stopword_ratio(text: Column) -> Column:
     return stopword_hits(text, "en") / F.size(words(text))
 

@@ -272,6 +272,72 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+# PII redaction: the documents corpus is synthetic (no real PII), so plant
+# deterministic PII-shaped strings from doc_id, redact, and oracle the
+# result — the patterns are RE2-and-Java-portable by construction, so the
+# DuckDB side runs the IDENTICAL regex chain (operators/textstats.py
+# PII_PATTERNS).
+_PII_PLANT_SQL = (
+    "text || ' contact user' || doc_id || '@example.com or 555-01' "
+    "|| lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "|| ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)"
+)
+_REDACT_SQL = "planted"
+for _name, _pat in textstats.PII_PATTERNS:
+    _REDACT_SQL = f"regexp_replace({_REDACT_SQL}, '{_pat}', '<{_name.upper()}>', 'g')"
+
+
+@register(
+    "text_redact_pii",
+    f"""WITH p AS (SELECT doc_id, {_PII_PLANT_SQL} AS planted FROM documents)
+        SELECT doc_id, {_REDACT_SQL} AS redacted FROM p""",
+)
+def text_redact_pii(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 100).cast("string"),
+    )
+    return d.select("doc_id", textstats.redact_pii(planted).alias("redacted"))
+
+
+@register(
+    "text_quality_filter_chain",
+    f"""SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+       FROM documents
+       WHERE len(string_split(text, ' ')) BETWEEN 5 AND 1000
+         AND CAST(floor((
+                0.5 * least(length(text) / 400.0, 1.0)
+                + 0.5 * ({_sw_sql('en')} * 1.0 / len(string_split(lower(text), ' ')))
+                - (length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / length(text))
+             ) * 10000) AS DOUBLE) / 10000 >= 0.3
+         AND {_sw_sql('en')} > 0""",
+)
+def text_quality_filter_chain(spark, sf_dir):
+    """The composed pretraining quality gate — length band AND quality
+    score AND language evidence — as ONE map-side filter (each predicate
+    is an already-oracled textstats expression; the chain shows they
+    compose into the standard corpus-cleaning operator)."""
+    d = t(spark, sf_dir, "documents")
+    tok = textstats.token_count_ws(F.col("text"))
+    return (
+        d.filter(
+            tok.between(5, 1000)
+            & (textstats.quality_score(F.col("text")) >= 0.3)
+            & (textstats.stopword_hits(F.col("text"), "en") > 0)
+        )
+        .select("doc_id", tok.alias("ws_tokens"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # reproducible sampling / split assignment / sequence packing
 # ---------------------------------------------------------------------------
