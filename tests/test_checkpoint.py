@@ -23,7 +23,7 @@ def _fresh(spark, tmp_path, name) -> tuple[ParquetWarehouse, PipelineConfig]:
     wh.write_append(synth_transcripts(spark, PARAMS), "transcripts")
     wh.write_append(role_dim(spark), "role_dim")
     wh.write_append(tool_dim(spark), "tool_dim")
-    return wh, PipelineConfig(warehouse=root, n_buckets=8, salt=4, run_id="r1")
+    return wh, PipelineConfig(warehouse=root, n_buckets=8, run_id="r1")
 
 
 def _sink_rows(spark, wh):

@@ -25,7 +25,7 @@ def warehouse(spark, params, tmp_path_factory):
     wh.write_append(synth_transcripts(spark, params), "transcripts")
     wh.write_append(role_dim(spark), "role_dim")
     wh.write_append(tool_dim(spark), "tool_dim")
-    cfg = PipelineConfig(warehouse=root, n_buckets=8, salt=4, run_id="golden-run")
+    cfg = PipelineConfig(warehouse=root, n_buckets=8, run_id="golden-run")
     metrics = run_pipeline(spark, cfg)
     return wh, cfg, metrics, compute_golden(params)
 

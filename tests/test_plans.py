@@ -79,6 +79,48 @@ def test_pandas_parse_is_arrow_not_row_python(spark):
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
 
 
+def test_agg_readback_prunes_columns(spark, tmp_path):
+    """The post-write aggregate jobs must stay column-pruned (the round-3
+    agg rewrite's scale contract): the distinct-convs job's parquet scan
+    reads ONLY conv_id as a data column ('sink' is a hive partition dir),
+    and the rollup scan must not read the text-heavy columns."""
+    from pyspark.sql import functions as F
+
+    from watchman_spark.config import PipelineConfig
+    from watchman_spark.plans.pipeline import run_pipeline
+    from watchman_spark.schema import TRANSCRIPT_SCHEMA
+    from watchman_spark.sources.warehouse import ParquetWarehouse
+    from watchman_spark.synth import SynthParams, role_dim, synth_transcripts, tool_dim
+
+    root = str(tmp_path / "wh")
+    wh = ParquetWarehouse(root)
+    wh.write_append(
+        synth_transcripts(spark, SynthParams(seed=3, n_convs=20, C=120, hot_cap=40)),
+        "transcripts",
+    )
+    cfg = PipelineConfig(warehouse=root, n_buckets=4, run_id="prune")
+    run_pipeline(spark, cfg, role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+
+    # reproduce the two read-back plans against a committed sink table (the
+    # staged tree is gone after the run; same schema, same pruning behavior)
+    sink = wh.read(spark, "sink_conversational")
+    plan = (
+        sink.select("conv_id").distinct()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    read_schema = plan.split("ReadSchema")[1][:300] if "ReadSchema" in plan else plan
+    assert "conv_id" in read_schema
+    assert "text" not in read_schema and "error_msg" not in read_schema
+
+    rollup_plan = (
+        sink.groupBy("conv_id", "role", "tool")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("latency_ms").alias("s"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    rs = rollup_plan.split("ReadSchema")[1][:400] if "ReadSchema" in rollup_plan else rollup_plan
+    assert "text" not in rs and "error_msg" not in rs
+
+
 def test_pipeline_single_exchange(spark, tmp_path):
     """The batch pipeline plan has exactly one all-to-all exchange (the
     conv_bucket repartition) plus the broadcast exchanges for dims."""

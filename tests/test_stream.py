@@ -171,6 +171,45 @@ def test_stream_resume_no_duplicates(spark, source_dir, tmp_path_factory):
     assert after == before
 
 
+def test_watermarked_dedup_stream_counts(spark, source_dir, tmp_path_factory):
+    """The bounded-state dedup variant (dropDuplicatesWithinWatermark):
+    with a watermark delay covering the source's event-time disorder (the
+    fixture scatters conversation start times across ~30 days, and files
+    arrive in arbitrary event-time order), per-sink counts equal the exact
+    variant's — state stays evictable for a forever-running tail. A
+    too-small delay ("10 minutes" here) instead DROPS out-of-order rows as
+    late — that is watermark semantics, not a router bug — so the operator
+    guidance (stream.py docstring) is: size the delay to the tail's real
+    disorder; the audit for what a given delay would drop is
+    late_data_audit."""
+    golden = compute_golden(PARAMS)["per_sink"]
+    root = str(tmp_path_factory.mktemp("wmdedup_wh"))
+    ck = str(tmp_path_factory.mktemp("wmdedup_ck"))
+    cfg = PipelineConfig(warehouse=root, n_buckets=8, run_id="wm-dedup")
+    stream = read_transcript_stream(spark, source_dir, max_files_per_trigger=2)
+    q = route_stream(spark, stream, cfg, role_dim(spark), tool_dim(spark),
+                     checkpoint_dir=ck, trigger_once=True,
+                     dedup_watermark="45 days")
+    q.awaitTermination(300)
+    wh = ParquetWarehouse(root)
+    got = {s: wh.table_rows(f"sink_{s}") for s in SINKS}
+    assert got == golden
+
+    # and the undersized delay demonstrably loses late rows (strictly
+    # fewer in every sink) — the failure mode operators must size against
+    root2 = str(tmp_path_factory.mktemp("wmdedup_wh2"))
+    ck2 = str(tmp_path_factory.mktemp("wmdedup_ck2"))
+    cfg2 = PipelineConfig(warehouse=root2, n_buckets=8, run_id="wm-dedup-2")
+    stream2 = read_transcript_stream(spark, source_dir, max_files_per_trigger=2)
+    q2 = route_stream(spark, stream2, cfg2, role_dim(spark), tool_dim(spark),
+                      checkpoint_dir=ck2, trigger_once=True,
+                      dedup_watermark="10 minutes")
+    q2.awaitTermination(300)
+    wh2 = ParquetWarehouse(root2)
+    got2 = {s: wh2.table_rows(f"sink_{s}") for s in SINKS}
+    assert all(got2[s] < golden[s] for s in SINKS)
+
+
 def test_mid_epoch_crash_then_restart_exactly_once(spark, source_dir, tmp_path_factory, monkeypatch):
     """End-to-end crash-replay through the REAL streaming machinery: a
     foreachBatch that dies AFTER the first sink commit of an epoch (the

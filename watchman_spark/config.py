@@ -74,13 +74,16 @@ DEFAULT_PATTERNS: tuple[GrokPattern, ...] = (
 )
 # Prefilters are deliberately OFF for the default registry, and the A/B is
 # now measured at BOTH densities (BENCH/PREFILTER.md, 10M rows, both
-# engines): ~40% match — noise-level (1.03-1.07x); ~2% log-typical sparse
-# match — a small LOSS (0.89-0.95x). Reason: these regexes are anchored on
-# literals ("[tool:", "ERROR E"), so a failed regex search is already one
-# linear scan with a literal-prefix fast path in both engines; the
-# contains() gate re-scans the same bytes. Reach for prefilter="..." only
-# when a pattern's failure path is super-linear (backtracking-prone, no
-# literal anchor) — and re-measure with `python bench.py --prefilter-ab`.
+# engines, median of interleaved cycles): no reliable win anywhere —
+# ~40% match is noise-level on both engines (0.99-1.01x), and at the ~2%
+# log-typical sparse mix the jvm engine skews slightly NEGATIVE (~0.92x)
+# while pandas is neutral-to-slightly-positive (1.03-1.15x across runs,
+# within host drift). Reason: these regexes are anchored on literals
+# ("[tool:", "ERROR E"), so a failed regex search is already one linear
+# scan with a literal-prefix fast path in both engines; the contains()
+# gate re-scans the same bytes. Reach for prefilter="..." only when a
+# pattern's failure path is super-linear (backtracking-prone, no literal
+# anchor) — and re-measure with `python bench.py --prefilter-ab`.
 
 # Output routing is DATA too (BASELINE.json:6 "mirroring watchman's
 # configurable output routing"): an ordered list of (sink_name, SQL
@@ -248,7 +251,6 @@ class PipelineConfig:
     routes: tuple[tuple[str, str], ...] = DEFAULT_ROUTES
     default_sink: str = DEFAULT_SINK
     n_buckets: int = 32  # conv_id hash buckets = checkpoint/work unit
-    salt: int = 16  # salt fan-out for skewed rollups
     # "pandas" (Arrow iterator UDF; C-regex, measured ~5x faster than the
     # JVM path at bench scale) | "jvm" (regexp_extract; zero Python
     # boundary — wins for trivially simple registries / tiny batches)

@@ -67,7 +67,6 @@ def cmd_run(args) -> int:
         routes=routes,
         default_sink=default_sink,
         n_buckets=args.buckets,
-        salt=args.salt,
         parse_engine=args.parse_engine,
         run_id=args.run_id,
         max_buckets_per_run=args.max_buckets,
@@ -144,7 +143,6 @@ def main(argv: list[str] | None = None) -> int:
     pr = sub.add_parser("run", help="run the batch pipeline (resumable)")
     _add_common(pr)
     pr.add_argument("--buckets", type=int, default=32)
-    pr.add_argument("--salt", type=int, default=16)
     pr.add_argument("--parse-engine", choices=["pandas", "jvm"], default="pandas")
     pr.add_argument(
         "--patterns",

@@ -147,19 +147,29 @@ def route_batch(
         # foreachBatch returns without consuming the batch
         batch_df.count()
         return []
+    # SHUFFLE FIRST, exactly like the batch pipeline (plans/pipeline.py):
+    # a micro-batch arrives in arbitrary partitioning (often 1-2 file
+    # partitions, or the dedup state exchange's layout) — without the
+    # bucket repartition, parse runs at the source's parallelism and EVERY
+    # write task spans all buckets, so an epoch fans out to
+    # n_tasks x n_sinks x n_buckets small files (measured 12s/epoch fixed
+    # cost at 146k-row epochs). Bucket-aligned, each task writes its own
+    # bucket's ~n_sinks files and parse gets full parallelism (measured:
+    # whole-stream wall 3.1x faster at 8 epochs, 2.2x at 64 epochs —
+    # BENCH/STREAMING.md).
+    raw = with_conv_bucket(batch_df, cfg.n_buckets).repartition(
+        cfg.n_buckets, "conv_bucket"
+    )
     routed = (
         flatten_parsed(
-            with_conv_bucket(
-                with_sink(
-                    enrich(
-                        with_parsed(batch_df, cfg.patterns, engine=cfg.parse_engine),
-                        role_dim,
-                        tool_dim,
-                    ),
-                    routes=cfg.routes,
-                    default_sink=cfg.default_sink,
+            with_sink(
+                enrich(
+                    with_parsed(raw, cfg.patterns, engine=cfg.parse_engine),
+                    role_dim,
+                    tool_dim,
                 ),
-                cfg.n_buckets,
+                routes=cfg.routes,
+                default_sink=cfg.default_sink,
             )
         )
         .sortWithinPartitions("sink", "conv_bucket", "conv_id", "turn_idx")
@@ -195,11 +205,29 @@ def route_stream(
     tool_dim: DataFrame | None = None,
     checkpoint_dir: str | None = None,
     trigger_once: bool = False,
+    dedup_watermark: str | None = None,
 ) -> StreamingQuery:
     """T5+T8: streaming dedup + micro-batch router (see route_batch for the
-    exactly-once / single-pass contract)."""
+    exactly-once / single-pass contract).
+
+    ``dedup_watermark``: None (default) keeps exact dropDuplicates — right
+    for bounded backfills (availableNow) where the state store holds one
+    key per input row and is discarded at the end. A FOREVER-RUNNING tail
+    at 10^12-turn scale must NOT keep unbounded dedup state: pass an
+    event-time bound (e.g. "1 hour") to switch to
+    dropDuplicatesWithinWatermark, which evicts keys older than the
+    watermark. SIZE THE DELAY TO THE TAIL'S REAL EVENT-TIME DISORDER:
+    rows older than the advancing watermark are DROPPED as late (standard
+    watermark semantics — demonstrated both ways in
+    tests/test_stream.py::test_watermarked_dedup_stream_counts; audit a
+    candidate delay with late_data_audit before trusting it)."""
     wh = ParquetWarehouse(cfg.warehouse)
-    deduped = stream.dropDuplicates(["conv_id", "turn_idx"])
+    if dedup_watermark is not None:
+        deduped = stream.withWatermark("ts", dedup_watermark).dropDuplicatesWithinWatermark(
+            ["conv_id", "turn_idx"]
+        )
+    else:
+        deduped = stream.dropDuplicates(["conv_id", "turn_idx"])
     index: dict = {"v": None}  # epoch -> committed sinks; one log scan, lazy
 
     def _on_batch(batch_df: DataFrame, epoch_id: int) -> None:
