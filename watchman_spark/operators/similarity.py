@@ -84,18 +84,26 @@ def cosine_pairs_blocked(
     )
 
 
+def plane_signs(plane: int, dim: int) -> list[float]:
+    """±1 components of deterministic hyperplane ``plane``: parity of the
+    first md5 hex digit of "plane|component". Pure Python (hashlib), so
+    any engine — and the DuckDB oracle — can embed the IDENTICAL literals
+    and reproduce bucket assignments exactly (round-3 change from
+    xxhash64-expression planes, which only Spark could evaluate).
+    Sign-random projections preserve cosine locality either way."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{plane}|{d}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for d in range(dim)
+    ]
+
+
 def _hyperplane(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component d of plane p is
-    ±1 by the parity of xxhash64(p, d). A literal-free, seedable stand-in
-    for gaussian planes; sign-random projections preserve cosine locality."""
-    return F.array(
-        *[
-            F.when(F.xxhash64(F.lit(plane), F.lit(d)) % 2 == 0, F.lit(1.0)).otherwise(
-                F.lit(-1.0)
-            )
-            for d in range(dim)
-        ]
-    )
+    """The plane as a literal array column (constant-folded by Catalyst)."""
+    return F.array(*[F.lit(s) for s in plane_signs(plane, dim)])
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 16) -> Column:

@@ -157,8 +157,38 @@ def ann_brute_force(spark, sf_dir):
     return brute_force_topk(emb, q, k=20)
 
 
-@register("ann_lsh", None)  # rows-only: bucket membership is hash-defined
+def _lsh_bucket_sql(vec_sql: str, dim: int, n_planes: int) -> str:
+    """The DuckDB rendering of lsh_bucket — the plane literals come from
+    the SAME plane_signs() the Spark expression embeds, so bucket
+    assignment is bit-identical by construction."""
+    from .operators.similarity import plane_signs
+
+    terms = []
+    for p in range(n_planes):
+        arr = "[" + ", ".join(str(s) for s in plane_signs(p, dim)) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_sql}, {arr}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "ann_lsh",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_lsh_bucket_sql('v', 64, 4)} AS bkt FROM v),
+        q AS (SELECT bkt AS qbkt, v AS q FROM b WHERE vec_id = 0)
+        SELECT b.vec_id AS vec_id,
+               round(list_dot_product(b.v, q.q)
+                     / (sqrt(list_dot_product(b.v, b.v))
+                        * sqrt(list_dot_product(q.q, q.q))), 4) AS cos_sim
+        FROM b, q WHERE b.bkt = q.qbkt
+        ORDER BY cos_sim DESC, vec_id LIMIT 20""",
+)
 def ann_lsh(spark, sf_dir):
+    """Oracled since round 3: the sign-projection planes are now literal
+    ±1 arrays from a portable hashlib derivation (plane_signs), so the
+    oracle reproduces bucket membership exactly instead of rows-only."""
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     # 4 planes = 16 buckets: sized so a bucket holds ~1/16 of the corpus —
@@ -177,11 +207,26 @@ def ann_ivf(spark, sf_dir):
     return ivf_topk(emb, q, k=20, n_centroids=8, nprobe=4)
 
 
-@register("ann_lsh_multiprobe", None)  # rows-only: bucket membership is hash-defined
+@register(
+    "ann_lsh_multiprobe",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_lsh_bucket_sql('v', 64, 4)} AS bkt FROM v),
+        q AS (SELECT bkt AS qbkt, v AS q FROM b WHERE vec_id = 0)
+        SELECT b.vec_id AS vec_id,
+               round(list_dot_product(b.v, q.q)
+                     / (sqrt(list_dot_product(b.v, b.v))
+                        * sqrt(list_dot_product(q.q, q.q))), 4) AS cos_sim
+        FROM b, q
+        WHERE b.bkt IN (q.qbkt, xor(q.qbkt, 1), xor(q.qbkt, 2),
+                        xor(q.qbkt, 4), xor(q.qbkt, 8))
+        ORDER BY cos_sim DESC, vec_id LIMIT 20""",
+)
 def ann_lsh_multiprobe(spark, sf_dir):
     # Hamming-1 multi-probe: scores the query bucket plus each one-bit-flip
     # neighbor bucket — recall vs brute force is asserted >=0.9 in
-    # tests/test_similarity.py; cost stays one broadcast hash join
+    # tests/test_similarity.py; cost stays one broadcast hash join.
+    # Oracled since round 3 (portable plane literals): the probe set is the
+    # explicit XOR list in the oracle's IN clause.
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     return lsh_topk(emb, q, dim=64, k=20, n_planes=4, probes=1)
