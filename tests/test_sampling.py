@@ -120,3 +120,42 @@ def test_pack_query_driver_shape(spark):
     assert kinds["doc_ids_json"] == "string"
     row = out.limit(1).collect()[0]
     assert json.loads(row["doc_ids_json"]) == list(json.loads(row["doc_ids_json"]))
+
+
+def test_docs_prep_pipeline_composition(spark):
+    """The composed corpus-prep query: doc and token conservation through
+    the pack stage, split totality, and agreement with the independently
+    computed filter→dedup→split stage (SQL-free cross-check)."""
+    from pyspark.sql import Window
+
+    from watchman_spark.operators import sampling as smp
+    from watchman_spark.operators import textstats
+    from watchman_spark.queries_text import _SPLITS, docs_prep_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["split"]: r for r in docs_prep_pipeline(spark, sf).collect()}
+    assert set(rows) == set(_SPLITS)
+
+    # independent reference: same filter + dedup + split WITHOUT packing
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    tok = textstats.token_count_ws(F.col("text"))
+    clean = d.filter(
+        tok.between(5, 1000)
+        & (textstats.quality_score(F.col("text")) >= 0.3)
+        & (textstats.stopword_hits(F.col("text"), "en") > 0)
+    )
+    rn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+    unique = clean.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    ref = {
+        r["split"]: (r["n"], r["tok"])
+        for r in smp.with_split(unique, "doc_id", _SPLITS)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(textstats.token_count_ws(F.col("text"))).alias("tok"))
+        .collect()
+    }
+    for name in _SPLITS:
+        assert rows[name]["n_docs"] == ref[name][0]          # doc conservation
+        assert rows[name]["total_tokens"] == ref[name][1]    # token conservation
+        assert rows[name]["n_packs"] <= ref[name][0]         # packing packs
+        assert 0 < rows[name]["mean_fill"] <= 1.0

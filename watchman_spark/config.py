@@ -251,9 +251,17 @@ class PipelineConfig:
     routes: tuple[tuple[str, str], ...] = DEFAULT_ROUTES
     default_sink: str = DEFAULT_SINK
     n_buckets: int = 32  # conv_id hash buckets = checkpoint/work unit
-    # "pandas" (Arrow iterator UDF; C-regex, measured ~5x faster than the
-    # JVM path at bench scale) | "jvm" (regexp_extract; zero Python
-    # boundary — wins for trivially simple registries / tiny batches)
+    # "pandas" (Arrow iterator UDF, one C-level str.extract per pattern)
+    # | "jvm" (rlike + regexp_extract; zero Python boundary). Round-3
+    # full-pipeline A/B at 9.4M turns: the two are within host drift
+    # (median cycle ratio 1.08 — the round-1 "~5x" parse-only gap does not
+    # survive once the write stage dominates). Default stays pandas
+    # because its per-pattern cost is one extract pass regardless of
+    # group count, while the JVM path re-executes the regex once per
+    # capture group — with production-sized registries (tens of patterns,
+    # many groups) the JVM path's cost grows with total groups. Choose
+    # "jvm" to eliminate Python worker processes entirely (one less
+    # moving part per executor) when the registry is small.
     parse_engine: str = "pandas"
     run_id: str = "run-0"
     # cap buckets per run (None = all pending): bounds a run's blast radius

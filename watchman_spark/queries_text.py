@@ -448,6 +448,53 @@ def pack_sequences_q(spark, sf_dir):
     )
 
 
+@register("docs_prep_pipeline", None)  # rows-only: the pack stage is FFD, not SQL
+def docs_prep_pipeline(spark, sf_dir):
+    """The COMPOSED corpus-prep pipeline a pretraining run actually
+    executes, end-to-end in one job: quality gate → exact dedup
+    (keep-lowest-id) → deterministic train/val/test split → sequence
+    packing, reduced to one row per split (n_docs, total_tokens, n_packs,
+    mean fill). Every stage is an already-verified operator; this query
+    pins that they COMPOSE — same shapes, no collects between stages.
+    Stage-by-stage invariants (doc conservation through packing, split
+    totality, dedup idempotence) are pytested in tests/test_sampling.py."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    tok = textstats.token_count_ws(F.col("text"))
+    clean = d.filter(
+        tok.between(5, 1000)
+        & (textstats.quality_score(F.col("text")) >= 0.3)
+        & (textstats.stopword_hits(F.col("text"), "en") > 0)
+    )
+    # keep-first exact dedup as a FILTER (exact_dedup aggregates away the
+    # rows; here the survivors continue downstream)
+    rn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+    unique = clean.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    split_docs = sampling.with_split(unique, "doc_id", _SPLITS).select(
+        "doc_id", "split", textstats.token_count_ws(F.col("text")).alias("n_tok")
+    )
+    per_split = []
+    for name in _SPLITS:
+        packs = sampling.pack_sequences(
+            split_docs.filter(F.col("split") == name),
+            id_col="doc_id", tokens_col="n_tok", max_tokens=512, n_buckets=8,
+        )
+        per_split.append(
+            packs.agg(
+                F.lit(name).alias("split"),
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("total_tokens").cast("long").alias("total_tokens"),
+                F.count(F.lit(1)).cast("long").alias("n_packs"),
+                F.round(F.avg("fill_ratio"), 4).alias("mean_fill"),
+            )
+        )
+    out = per_split[0]
+    for p in per_split[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (stubbed codecs, real Spark contract)
 # ---------------------------------------------------------------------------
