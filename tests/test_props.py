@@ -121,3 +121,19 @@ def test_grouped_agg_udaf_matches_builtin(spark):
         .collect()
     }
     assert udaf == builtin and len(udaf) >= 3
+
+
+@given(data=st.lists(texts, min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_engines_agree_on_arbitrary_text(spark, data):
+    """jvm and pandas engines must produce IDENTICAL parsed structs for
+    arbitrary (including adversarial, near-matching, null, unicode) text —
+    the two-engine design's core contract, here property-tested beyond the
+    fixture corpus (test_parse.py::test_engines_agree covers the synthetic
+    mix only)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(data)], "i long, text string"
+    )
+    jvm = flatten_parsed(with_parsed(df, engine="jvm")).orderBy("i").collect()
+    pnd = flatten_parsed(with_parsed(df, engine="pandas")).orderBy("i").collect()
+    assert [tuple(r) for r in jvm] == [tuple(r) for r in pnd]

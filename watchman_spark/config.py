@@ -51,7 +51,13 @@ class GrokPattern:
         return _NAMED_GROUP.sub("(", self.regex)
 
     def compiled(self) -> re.Pattern:
-        return re.compile(self.regex)
+        # re.ASCII pins \d/\w/\s to ASCII — Java regex's DEFAULT semantics —
+        # so the pandas and jvm engines can never disagree on Unicode
+        # digits/word chars (found by hypothesis: '٠' ARABIC-INDIC
+        # ZERO matched Python \d but not Java \d, so one engine routed the
+        # line and the other did not; tests/test_props.py
+        # ::test_engines_agree_on_arbitrary_text)
+        return re.compile(self.regex, re.ASCII)
 
 
 # Default registry (FIXTURES.md §1 "Grok patterns"). ERROR's message group is
