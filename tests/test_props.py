@@ -137,3 +137,41 @@ def test_engines_agree_on_arbitrary_text(spark, data):
     jvm = flatten_parsed(with_parsed(df, engine="jvm")).orderBy("i").collect()
     pnd = flatten_parsed(with_parsed(df, engine="pandas")).orderBy("i").collect()
     assert [tuple(r) for r in jvm] == [tuple(r) for r in pnd]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee".split()), min_size=3, max_size=9).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    k=st.integers(2, 3),
+)
+@settings(**SETTINGS)
+def test_ngram_jaccard_matches_python_reference(spark, docs, k):
+    """ngram_jaccard_pairs (max_df=None exact mode) must equal a direct
+    Python computation of shingle-set jaccard for every candidate pair —
+    random small-vocabulary docs maximize shingle collisions, the hard
+    case for the join-based formulation."""
+    from watchman_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=k, threshold=0.0, max_df=None
+        ).collect()
+    }
+
+    def shingles(text: str) -> set[str]:
+        w = text.split(" ")
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)} if len(w) >= k else set()
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = shingles(docs[i]), shingles(docs[j])
+            inter = len(a & b)
+            if a and b and inter:  # candidates share >= 1 shingle
+                want[(i, j)] = round(inter / len(a | b), 4)
+    assert got == want
