@@ -159,3 +159,24 @@ def test_docs_prep_pipeline_composition(spark):
         assert rows[name]["total_tokens"] == ref[name][1]    # token conservation
         assert rows[name]["n_packs"] <= ref[name][0]         # packing packs
         assert 0 < rows[name]["mean_fill"] <= 1.0
+
+
+def test_hash_sample_string_key_and_unit_preservation(spark):
+    """String keys hash by their exact characters (md5 of the string, no
+    numeric coercion), and sampling on a grouping key keeps or drops whole
+    units: every selected unit appears with ALL its rows."""
+    rows = [(f"user{u}", i) for u in range(300) for i in range(u % 4 + 1)]
+    df = spark.createDataFrame(rows, ["uid", "row_id"])
+    picked = hash_sample(df, "uid", 0.3).collect()
+    got_counts: dict[str, int] = {}
+    for r in picked:
+        got_counts[r["uid"]] = got_counts.get(r["uid"], 0) + 1
+    thr = frac_to_hex_threshold(0.3)
+    for uid, n in got_counts.items():
+        assert hashlib.md5(uid.encode()).hexdigest()[:4] < thr  # string-key parity
+        u = int(uid[4:])
+        assert n == u % 4 + 1  # the whole unit came along
+    # and no selected-by-hash unit is missing
+    want = {f"user{u}" for u in range(300)
+            if hashlib.md5(f"user{u}".encode()).hexdigest()[:4] < thr}
+    assert set(got_counts) == want

@@ -405,6 +405,21 @@ def sample_hash_det(spark, sf_dir):
 
 
 @register(
+    "sample_by_unit",
+    f"""SELECT event_id, user_id FROM events
+        WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+              < '{sampling.frac_to_hex_threshold(0.2)}'""",
+)
+def sample_by_unit(spark, sf_dir):
+    """Unit-preserving sampling: keyed on user_id, ALL of a user's events
+    are kept or dropped together (the property that makes downstream
+    per-user statistics unbiased on the sample)."""
+    return sampling.hash_sample(t(spark, sf_dir, "events"), "user_id", 0.2).select(
+        "event_id", "user_id"
+    )
+
+
+@register(
     "split_assignment",
     f"""SELECT {sampling.split_boundaries_sql('doc_id', _SPLITS)} AS split,
                COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id,
