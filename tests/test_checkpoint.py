@@ -131,3 +131,22 @@ def test_partitioned_read_enforces_declared_types(spark, tmp_path):
     os.makedirs(os.path.join(sibling, "data"), exist_ok=True)
     with _pytest.raises(ValueError):
         wh.commit_existing("t", os.path.join(sibling, "data"))
+
+
+def test_empty_input_runs_and_is_idempotent(spark, tmp_path_factory):
+    """An empty input (0 rows — e.g. an upstream gap) must complete
+    normally: every bucket gets a 0-row ledger commit (so monitoring sees
+    the run happened), no sink table appears, and a rerun is a no-op."""
+    from watchman_spark.schema import TRANSCRIPT_SCHEMA
+    from watchman_spark.synth import role_dim, tool_dim
+
+    root = str(tmp_path_factory.mktemp("wh_empty"))
+    cfg = PipelineConfig(warehouse=root, n_buckets=4, run_id="empty-run")
+    empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    m = run_pipeline(spark, cfg, input_df=empty,
+                     role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+    assert m.rows_in == 0 and m.buckets == [0, 1, 2, 3]
+    assert m.rows_per_sink == {s: 0 for s in m.rows_per_sink}
+    m2 = run_pipeline(spark, cfg, input_df=empty,
+                      role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+    assert m2.buckets == []  # fully committed -> no-op
