@@ -460,7 +460,8 @@ def streaming_bench_main() -> None:
     import tempfile
 
     from watchman_spark.config import PipelineConfig
-    from watchman_spark.schema import SINKS
+    from watchman_spark.plans.pipeline import run_pipeline
+    from watchman_spark.schema import SINKS, TRANSCRIPT_SCHEMA
     from watchman_spark.sources.warehouse import ParquetWarehouse
     from watchman_spark.streaming.stream import read_transcript_stream, route_stream
     from watchman_spark.synth import role_dim, tool_dim
@@ -469,12 +470,25 @@ def streaming_bench_main() -> None:
     path = ensure_bench_transcripts(spark)  # 64 files, ~9.4M turns
     rd, td = role_dim(spark), tool_dim(spark)
 
-    # batch baseline on the identical input
+    # batch baseline on the identical input — keep its PER-SINK counts as
+    # the equality reference (the earlier shape compared the two stream
+    # runs only against each other, so a router bug that mis-routed
+    # identically at both trigger sizes would have passed)
     run_transcript_pipeline(spark, path)  # warmup
-    rows, batch_secs = run_transcript_pipeline(spark, path)
+    bench_dir = os.environ.get("WATCHMAN_BENCH_DIR", _fast_dir())
+    wh_root = tempfile.mkdtemp(prefix="stream_bench_batch_", dir=bench_dir)
+    try:
+        cfg0 = PipelineConfig(warehouse=wh_root, n_buckets=32, run_id="sb-batch")
+        df0 = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+        t0 = time.time()
+        m0 = run_pipeline(spark, cfg0, input_df=df0, role_dim=rd, tool_dim=td)
+        batch_secs = time.time() - t0
+        rows = m0.rows_in
+        base_counts = dict(m0.rows_per_sink)
+    finally:
+        shutil.rmtree(wh_root, ignore_errors=True)
 
     results = {}
-    base_counts = None
     for label, files_per_trigger in (("8-epochs", 8), ("64-epochs", 1)):
         bench_dir = os.environ.get("WATCHMAN_BENCH_DIR", _fast_dir())
         wh_root = tempfile.mkdtemp(prefix="stream_bench_wh_", dir=bench_dir)
@@ -494,9 +508,7 @@ def streaming_bench_main() -> None:
             n_epochs = q.lastProgress["batchId"] + 1 if q.lastProgress else -1
             wh = ParquetWarehouse(wh_root)
             counts = {s: wh.table_rows(f"sink_{s}") for s in SINKS}
-            if base_counts is None:
-                base_counts = counts
-            assert counts == base_counts, (counts, base_counts)
+            assert counts == base_counts, (counts, base_counts)  # stream ≡ batch
             results[label] = {
                 "secs": round(secs, 2),
                 "turns_per_sec": round(rows / secs, 1),

@@ -67,6 +67,10 @@ def test_chunked_digest_equals_grouped_digest(spark):
         for i in range(rng.randrange(1, 40)):
             text = None if rng.random() < 0.1 else f"c{c} turn{i} {rng.random():.6f}"
             rows.append((f"conv{c}", i, text))
+    # rows with NULL conv_id are a real group and must be audited too
+    # (the pandas-groupby default would silently drop them)
+    for i in range(7):
+        rows.append((None, i, f"null-conv turn{i}"))
     rng.shuffle(rows)
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
     grouped = {r["conv_id"]: (r["digest"], r["n_turns"]) for r in inv.conv_digests(df).collect()}
@@ -74,7 +78,8 @@ def test_chunked_digest_equals_grouped_digest(spark):
         r["conv_id"]: (r["digest"], r["n_turns"])
         for r in inv.conv_digests_chunked(df, n_partitions=3).collect()
     }
-    assert chunked == grouped and len(chunked) == 10
+    assert chunked == grouped and len(chunked) == 11  # 10 convs + the NULL group
+    assert None in chunked and chunked[None][1] == 7
 
 
 def test_chunked_digest_giant_conversation_tiny_batches(spark):

@@ -105,7 +105,7 @@ def test_pack_sequences_invariants(spark):
     assert sorted((p["pack_id"], tuple(p["doc_ids"])) for p in again) == sorted(
         (p["pack_id"], tuple(p["doc_ids"])) for p in packs
     )
-    # FFD actually packs: mean fill of multi-doc packs is high
+    # BFD actually packs: mean fill of multi-doc packs is high
     fills = [p["fill_ratio"] for p in packs if p["total_tokens"] <= max_tokens]
     assert sum(fills) / len(fills) > 0.8
 

@@ -99,9 +99,10 @@ def conv_digests_chunked(df: DataFrame, n_partitions: int | None = None) -> Data
     conversation. Peak Python memory is one Arrow batch, independent of
     conversation size."""
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    _START = object()  # distinct from None: a NULL conv_id is a real group
 
     def stream(batches):
-        cur_id: str | None = None
+        cur_id = _START
         cur_hash = None
         cur_n = 0
         out: dict[str, list] = {"conv_id": [], "digest": [], "n_turns": []}
@@ -117,10 +118,16 @@ def conv_digests_chunked(df: DataFrame, n_partitions: int | None = None) -> Data
             # batches arrive in partition order, rows sorted by
             # (conv_id, turn_idx); groupby(sort=False) keeps that order and
             # each group's texts are joined at C speed — the per-batch
-            # python cost is one iteration per DISTINCT conversation
-            for conv_id, g in pdf.groupby("conv_id", sort=False):
-                if conv_id != cur_id:
-                    if cur_id is not None:
+            # python cost is one iteration per DISTINCT conversation.
+            # dropna=False: rows with NULL conv_id are a legitimate group
+            # (Spark's groupBy keys nulls too) — the pandas default would
+            # silently DROP them from the audit (caught in code review;
+            # pinned in tests/test_invariants.py with null conv_ids)
+            for conv_id, g in pdf.groupby("conv_id", sort=False, dropna=False):
+                if conv_id is not None and pd.isna(conv_id):
+                    conv_id = None  # normalize possible NaN key to None
+                if cur_id is _START or conv_id != cur_id:
+                    if cur_id is not _START:
                         emit()
                     cur_id, cur_hash, cur_n = conv_id, hashlib.sha256(), 0
                 elif cur_n > 0:
@@ -133,7 +140,7 @@ def conv_digests_chunked(df: DataFrame, n_partitions: int | None = None) -> Data
             if out["conv_id"]:
                 yield pd.DataFrame(out)
                 out = {"conv_id": [], "digest": [], "n_turns": []}
-        if cur_id is not None:
+        if cur_id is not _START:
             emit()
             yield pd.DataFrame(out)
 

@@ -17,10 +17,10 @@ population, exact thresholds documented per call).
 
 Sequence packing (``pack_sequences``) is the standard LLM-pretraining step
 of concatenating documents into fixed-size context windows: a distributed
-first-fit-decreasing bin packer — documents are hash-bucketed (a pure map),
+best-fit-decreasing bin packer — documents are hash-bucketed (a pure map),
 each bucket is packed independently inside one Arrow batch, and the result
 is (pack_id, doc order, token sum, utilization). Packing quality is a
-bucket-local property (FFD is within 11/9·OPT+1 bins of optimal per
+bucket-local property (BFD is within 11/9·OPT+1 bins of optimal per
 bucket); cross-bucket packing would need a global shuffle-and-sort for a
 ~2% utilization gain — the wrong trade at 10^12 tokens.
 """
@@ -81,11 +81,11 @@ def with_split(
     ``splits`` maps name -> fraction; fractions must sum to 1.0 (each is
     realized at 1/65536 granularity; the LAST split absorbs the rounding
     remainder so the assignment stays total)."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1.0, got {total}")
-    if not splits:
-        raise ValueError("splits must be non-empty")
     prefix = _hex_prefix(F.col(key_col))
     expr: Column | None = None
     acc = 0.0
@@ -121,7 +121,7 @@ def pack_sequences(
     max_tokens: int,
     n_buckets: int = 64,
 ) -> DataFrame:
-    """Distributed first-fit-decreasing sequence packing.
+    """Distributed best-fit-decreasing sequence packing.
 
     Returns one row per pack: (pack_id string, doc_ids array<long> in pack
     order, n_docs, total_tokens, fill_ratio). Invariants (pytested):
@@ -132,8 +132,8 @@ def pack_sequences(
     Shape at scale: ONE shuffle (hash-bucket the ids), then packing is an
     Arrow-batch-local loop over each bucket's (tokens, id) pairs — memory
     per task is the bucket's id+token pairs only (16 bytes/doc), not the
-    documents. Determinism: bucket = pmod(xxhash64(id), n_buckets); FFD
-    order sorts by (-tokens, id); pack_id = "<bucket>/<seq>".
+    documents. Determinism: bucket = pmod(xxhash64(id), n_buckets); the
+    decreasing order sorts by (-tokens, id); pack_id = "<bucket>/<seq>".
     """
     from pyspark.sql.types import (
         ArrayType,
@@ -156,6 +156,8 @@ def pack_sequences(
     )
 
     def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
         bucket = int(key[0])
         # null token counts arrive as NaN after Arrow; treat as 0 (the doc
         # still gets packed — dropping it would break the exactly-once
@@ -166,17 +168,32 @@ def pack_sequences(
         )
         bins: list[list[int]] = []  # doc ids per pack
         sums: list[int] = []
+        # best-fit-decreasing via a SORTED residual-capacity index:
+        # bisect finds the tightest bin that fits in O(log B); insert is an
+        # O(B) C-level memmove. The naive first-fit inner loop probed every
+        # bin in Python — O(docs x bins) interpreter work per bucket, which
+        # at 10^7-doc buckets is ~10^13 probes (caught in code review).
+        # BFD shares FFD's 11/9*OPT+1 quality bound and is deterministic
+        # here: items arrive in a fixed order and ties pick the leftmost
+        # residual (stable given the deterministic insertion history).
+        residuals: list[int] = []  # ascending
+        res_bin: list[int] = []  # parallel: bin index owning residuals[i]
         for tok, doc in items:
-            placed = False
-            for i in range(len(bins)):
-                if sums[i] + tok <= max_tokens:
-                    bins[i].append(doc)
-                    sums[i] += tok
-                    placed = True
-                    break
-            if not placed:  # includes the single-oversized-doc case
+            i = bisect.bisect_left(residuals, tok)
+            if i < len(residuals):
+                b = res_bin.pop(i)
+                rem = residuals.pop(i) - tok
+                bins[b].append(doc)
+                sums[b] += tok
+            else:  # nothing fits (includes the single-oversized-doc case)
+                b = len(bins)
                 bins.append([doc])
                 sums.append(tok)
+                rem = max_tokens - tok
+            if rem > 0:  # oversized docs close their bin (rem < 0)
+                j = bisect.bisect_left(residuals, rem)
+                residuals.insert(j, rem)
+                res_bin.insert(j, b)
         return pd.DataFrame(
             {
                 "pack_id": [f"{bucket}/{i}" for i in range(len(bins))],

@@ -107,10 +107,16 @@ def _hyperplane(plane: int, dim: int) -> Column:
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 16) -> Column:
-    """Sign-projection LSH bucket id (long): bit p = sign(vec · plane_p)."""
+    """Sign-projection LSH bucket id (long): bit p = sign(vec · plane_p).
+
+    The projection is rounded to 9 dp BEFORE the sign test (mirrored in the
+    DuckDB oracle): different engines may sum the dot product in different
+    orders, and a projection within float-noise of 0 could otherwise get
+    opposite signs across engines, flipping bucket membership."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        bit = F.when(dot(vec, _hyperplane(p, dim)) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        proj = F.round(dot(vec, _hyperplane(p, dim)), 9)
+        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket.bitwiseOR(bit)
     return bucket
 

@@ -633,15 +633,16 @@ def setop_distinct(spark, sf_dir):
 # deterministic tie-break) guarantees that the queries falling outside the
 # window are exactly the ones checked most recently — so no oracled
 # query's driver signal is ever more than (n_oracled - window)/window
-# rounds old (7 dark slots / 50-query window: at most ONE dark round,
-# i.e. staleness <= 2 rounds). Self-maintaining: each new CORRECTNESS
-# file re-ranks automatically, and newly added oracled queries (never
-# checked) jump to the front of the window.
+# rounds old (with the driver's OBSERVED ~50-query window and 64 oracled
+# queries: at most one dark round, i.e. staleness <= 2 rounds — the window
+# size is the driver's choice, not encoded here; the rotation stays
+# correct for any window because stalest-first is window-size-agnostic).
+# Self-maintaining: each new CORRECTNESS file re-ranks automatically, and
+# newly added oracled queries (never checked) jump to the front.
 #   1. the flagship pipeline first (always in-window);
 #   2. remaining DuckDB-oracled queries, stalest driver signal first;
 #   3. rows-only queries last (the driver records only a row count for
 #      them — the weakest signal, and each has a pytest instead).
-DRIVER_WINDOW = 50
 
 
 def _last_checked_round() -> dict[str, int]:

@@ -166,8 +166,11 @@ def _lsh_bucket_sql(vec_sql: str, dim: int, n_planes: int) -> str:
     terms = []
     for p in range(n_planes):
         arr = "[" + ", ".join(str(s) for s in plane_signs(p, dim)) + "]"
+        # round(..., 9) before the sign test mirrors lsh_bucket: engines may
+        # sum the dot in different orders, and a near-zero projection must
+        # not flip sign across engines
         terms.append(
-            f"(CASE WHEN list_dot_product({vec_sql}, {arr}) >= 0 "
+            f"(CASE WHEN round(list_dot_product({vec_sql}, {arr}), 9) >= 0 "
             f"THEN {1 << p} ELSE 0 END)"
         )
     return " + ".join(terms)
@@ -323,8 +326,8 @@ def text_fingerprint(spark, sf_dir):
 # DuckDB side runs the IDENTICAL regex chain (operators/textstats.py
 # PII_PATTERNS).
 _PII_PLANT_SQL = (
-    "text || ' contact user' || doc_id || '@example.com or 555-01' "
-    "|| lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' "
+    "text || ' contact user' || doc_id || '@example.com or 555-' "
+    "|| lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' "
     "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
     "|| ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)"
 )
@@ -343,14 +346,19 @@ def text_redact_pii(spark, sf_dir):
     planted = F.concat(
         F.col("text"),
         F.lit(" contact user"), F.col("doc_id").cast("string"),
-        F.lit("@example.com or 555-01"),
-        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
         F.lit("-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
         F.lit("."), (F.col("doc_id") % 100).cast("string"),
     )
-    return d.select("doc_id", textstats.redact_pii(planted).alias("redacted"))
+    out = d.select("doc_id", textstats.redact_pii(planted).alias("redacted"))
+    # the planted phone MUST actually be redacted — a mis-shaped plant
+    # would leave this query vacuously green on the phone path (caught in
+    # code review: the original plant was 3-4-4 digits vs the 3-3-4
+    # pattern, so <PHONE> never appeared and both engines happily agreed)
+    return out
 
 
 @register(
@@ -442,7 +450,7 @@ def split_assignment(spark, sf_dir):
     )
 
 
-@register("pack_sequences", None)  # rows-only: FFD bin packing is not SQL
+@register("pack_sequences", None)  # rows-only: BFD bin packing is not SQL
 def pack_sequences_q(spark, sf_dir):
     """Sequence packing of documents into 512-token windows (whitespace
     token counts). Driver-visible columns are canonicalizable scalars —
@@ -463,7 +471,7 @@ def pack_sequences_q(spark, sf_dir):
     )
 
 
-@register("docs_prep_pipeline", None)  # rows-only: the pack stage is FFD, not SQL
+@register("docs_prep_pipeline", None)  # rows-only: the pack stage is BFD, not SQL
 def docs_prep_pipeline(spark, sf_dir):
     """The COMPOSED corpus-prep pipeline a pretraining run actually
     executes, end-to-end in one job: quality gate → exact dedup
