@@ -121,6 +121,31 @@ def test_digest_mismatches_counts(spark):
     assert inv.digest_mismatches(a, g) == {"missing": 1, "extra": 1, "mismatched": 1}
 
 
+def test_digest_mismatches_null_conv_is_null_safe(spark):
+    """conv_digests_chunked digests the NULL-conv_id group on both sides; a
+    plain equi-join never matches null keys, so identical null-conv digests
+    used to report missing=1/extra=1 forever. The eqNullSafe join must match
+    them (and still flag a genuinely differing null-group digest)."""
+    a = spark.createDataFrame([("c1", "d1"), (None, "dn")], ["conv_id", "digest"])
+    g = spark.createDataFrame([("c1", "d1"), (None, "dn")], ["conv_id", "digest"])
+    assert inv.digest_mismatches(a, g) == {"missing": 0, "extra": 0, "mismatched": 0}
+    g2 = spark.createDataFrame([("c1", "d1"), (None, "dZ")], ["conv_id", "digest"])
+    assert inv.digest_mismatches(a, g2) == {"missing": 0, "extra": 0, "mismatched": 1}
+
+
+def test_text_equality_audit_with_null_conv_rows(spark, tmp_path):
+    """End-to-end: a warehouse whose transcripts contain NULL conv_id rows
+    must still audit all-zero when the sinks carry the identical texts —
+    the null group flows through digesting AND the comparison join."""
+    rows = [("c1", 0, "hello"), ("c1", 1, "world"), (None, 0, "orphan"), (None, 1, "rows")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    routed = inv.conv_digests_chunked(df, n_partitions=2)
+    golden = inv.conv_digests_chunked(df.repartition(3), n_partitions=2)
+    assert inv.digest_mismatches(routed, golden) == {
+        "missing": 0, "extra": 0, "mismatched": 0,
+    }
+
+
 def test_turn_order_is_physical_in_files(wh):
     """The ordering invariant is a property of the written files, not a
     read-time sort: scanning any sink data file RAW (pyarrow, no Spark, no

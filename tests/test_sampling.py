@@ -110,6 +110,18 @@ def test_pack_sequences_invariants(spark):
     assert sum(fills) / len(fills) > 0.8
 
 
+def test_pack_sequences_null_id_fails_fast(spark):
+    """A null id must raise a legible ValueError naming id_col (previously
+    an opaque astype ValueError deep in the executor, plus a degenerate
+    null-hash bucket)."""
+    docs = spark.createDataFrame(
+        [(1, 10), (None, 20), (3, 30)], "doc_id long, n_tok long"
+    )
+    with pytest.raises(Exception) as ei:
+        pack_sequences(docs, "doc_id", "n_tok", 64, n_buckets=4).collect()
+    assert "pack_sequences: id_col 'doc_id' contains null" in str(ei.value)
+
+
 def test_pack_query_driver_shape(spark):
     """The registered pack_sequences query exposes only canonicalizable
     scalars (doc_ids as JSON, not a raw array cell)."""

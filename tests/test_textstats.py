@@ -26,3 +26,29 @@ def test_redact_query_exercises_every_pii_class(spark):
         F.col("redacted").rlike(r"@example\.com|555-\d{3}-\d{4}|10\.0\.\d+\.\d+")
     ).count()
     assert leaked == 0
+
+
+def test_phone_pattern_boundary_guards(spark):
+    """The phone pattern must NOT eat the first 10 digits of a longer run
+    (a 16-digit card number previously became '<PHONE>' + 6 leaked digits,
+    and long numeric ids were over-redacted) while still matching real
+    phone shapes, including '+'-prefixed ones."""
+    from watchman_spark.operators.textstats import redact_pii
+
+    cases = [
+        ("card", "pay 4111111111111111 now"),          # 16-digit run: untouched
+        ("longid", "id 12345678901 ok"),               # 11-digit run: untouched
+        ("plain", "call 555-123-4567 pls"),
+        ("spaced", "call 555 123 4567 pls"),
+        ("bare", "call 5551234567 pls"),
+        ("plus", "call +123 456 7890 pls"),
+        ("eol", "call 555-123-4567"),
+    ]
+    df = spark.createDataFrame(cases, ["k", "text"])
+    got = {r["k"]: r["red"] for r in
+           df.select("k", redact_pii(F.col("text")).alias("red")).collect()}
+    assert got["card"] == "pay 4111111111111111 now"
+    assert got["longid"] == "id 12345678901 ok"
+    for k in ("plain", "spaced", "bare", "plus", "eol"):
+        assert "<PHONE>" in got[k], (k, got[k])
+        assert not any(ch.isdigit() for ch in got[k]), (k, got[k])

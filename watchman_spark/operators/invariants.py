@@ -172,11 +172,18 @@ def digest_mismatches(actual: DataFrame, golden: DataFrame) -> dict:
 
     ``actual``/``golden``: (conv_id, digest) DataFrames. Returns counts of
     conversations missing from actual, extra in actual, and present in both
-    with differing digests. All-zero == the text-equality invariant holds."""
-    a = actual.select("conv_id", F.col("digest").alias("__da"))
-    g = golden.select("conv_id", F.col("digest").alias("__dg"))
+    with differing digests. All-zero == the text-equality invariant holds.
+
+    The join is NULL-SAFE (eqNullSafe): conv_digests_chunked deliberately
+    digests the NULL-conv_id group on both sides, and a plain equi-join
+    would never match those keys — a warehouse containing null-conv rows
+    would then report missing=1/extra=1 forever even when the texts are
+    identical (round-4 advice fix; pinned with a null-conv case in
+    tests/test_invariants.py)."""
+    a = actual.select(F.col("conv_id").alias("__ca"), F.col("digest").alias("__da"))
+    g = golden.select(F.col("conv_id").alias("__cg"), F.col("digest").alias("__dg"))
     row = (
-        a.join(g, "conv_id", "full_outer")
+        a.join(g, a["__ca"].eqNullSafe(g["__cg"]), "full_outer")
         .agg(
             F.count(F.when(F.col("__da").isNull(), 1)).alias("missing"),
             F.count(F.when(F.col("__dg").isNull(), 1)).alias("extra"),

@@ -158,6 +158,17 @@ def pack_sequences(
     def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import bisect
 
+        # Fail FAST and legibly on a null/non-castable id: a null id casts
+        # to NaN, lands in the null xxhash64 bucket, and previously died as
+        # an opaque `astype(int)` ValueError deep in the executor (and its
+        # bucket assignment was degenerate). Packing ids must be non-null —
+        # name the offending column in the error so the caller can filter.
+        if key[0] is None or pdf["__id"].isna().any():
+            raise ValueError(
+                f"pack_sequences: id_col {id_col!r} contains null or "
+                f"non-integer values ({int(pdf['__id'].isna().sum())} in "
+                "this bucket); filter or repair ids before packing"
+            )
         bucket = int(key[0])
         # null token counts arrive as NaN after Arrow; treat as 0 (the doc
         # still gets packed — dropping it would break the exactly-once

@@ -68,7 +68,12 @@ def punct_ratio(text: Column) -> Column:
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
-    ("phone", r"\+?\d{3}[- ]?\d{3}[- ]?\d{4}"),
+    # \b on both digit ends (after the optional '+', which is non-word so a
+    # leading \b there would never hold): without guards the pattern ate the
+    # first 10 digits of any longer run — a 16-digit card number became
+    # '<PHONE>' + 6 leaked digits, and long numeric ids were over-redacted.
+    # \b is ASCII word-boundary in BOTH RE2 and java.util.regex → portable.
+    ("phone", r"\+?\b\d{3}[- ]?\d{3}[- ]?\d{4}\b"),
 )
 
 

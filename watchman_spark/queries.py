@@ -645,13 +645,19 @@ def setop_distinct(spark, sf_dir):
 #      them — the weakest signal, and each has a pytest instead).
 
 
-def _last_checked_round() -> dict[str, int]:
-    """query name -> latest round whose CORRECTNESS_r{N}.json contains it
-    (0 = never driver-checked)."""
+def _last_checked_round(repo_dir: str | None = None) -> dict[str, int]:
+    """query name -> latest round whose CORRECTNESS_r{N}.json contains a
+    PASSING entry for it (0 = never driver-checked or never passed).
+
+    Only a clean pass credits a round: an entry that errored or mismatched
+    must NOT rotate the query to the back of the stalest-first order — that
+    would minimize its re-check priority exactly when it needs the most
+    scrutiny (round-4 advice fix). An entry with no match flags at all
+    (rows-only record) counts as checked iff it did not error."""
     import glob
     import re
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = repo_dir or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out: dict[str, int] = {}
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
@@ -663,7 +669,18 @@ def _last_checked_round() -> dict[str, int]:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
-        for name in data:
+        for name, entry in data.items():
+            if not isinstance(entry, dict):
+                continue
+            if entry.get("err") is not None:
+                continue
+            flags = [
+                entry[k]
+                for k in ("rows_match", "schema_match", "hash_match")
+                if k in entry
+            ]
+            if any(f is False for f in flags):
+                continue
             out[name] = max(out.get(name, 0), rnd)
     return out
 
