@@ -13,6 +13,7 @@ from watchman_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    resolve_components,
     simhash64,
     simhash_pairs,
     word_shingles,
@@ -199,3 +200,61 @@ def test_lsh_bands_guarantee(spark):
     found = {(r["id_a"], r["id_b"]) for r in out.collect()}
     for i, _ in base:
         assert (i, i + 1000) in found
+
+
+def test_resolve_components_transitivity(spark):
+    """Random planted chains: A~B, B~C, ... must resolve to ONE component
+    labeled with the chain's min id, keep only that min — the property that
+    makes pair tables usable as a drop set."""
+    import random
+
+    rng = random.Random(404)
+    ids = list(range(0, 9000, 7))
+    rng.shuffle(ids)
+    pairs, want = [], {}
+    pos = 0
+    comp_count = 0
+    while pos + 2 <= len(ids) and comp_count < 60:
+        length = rng.randrange(2, 9)
+        chain = ids[pos:pos + length]
+        pos += length
+        comp_count += 1
+        comp = min(chain)
+        for a, b in zip(chain, chain[1:]):
+            # random orientation: the operator must symmetrize
+            pairs.append((a, b) if rng.random() < 0.5 else (b, a))
+        for node in chain:
+            want[node] = comp
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {
+        r["id"]: (r["component_id"], r["keep"])
+        for r in resolve_components(df).collect()
+    }
+    assert set(got) == set(want)
+    for node, comp in want.items():
+        assert got[node] == (comp, node == comp), (node, got[node], comp)
+    # exactly one keep per component
+    keeps = [n for n, (_, k) in got.items() if k]
+    assert sorted(keeps) == sorted(set(want.values()))
+
+
+def test_resolve_components_clique_and_bridge(spark):
+    """Two cliques joined by one bridge edge collapse into one component
+    (the shape LSH pair tables actually produce)."""
+    clique1 = [(a, b) for a in (10, 20, 30) for b in (10, 20, 30) if a < b]
+    clique2 = [(a, b) for a in (100, 200, 300) for b in (100, 200, 300) if a < b]
+    df = spark.createDataFrame(clique1 + clique2 + [(30, 100)], ["id_a", "id_b"])
+    got = {r["id"]: r["component_id"] for r in resolve_components(df).collect()}
+    assert got == {n: 10 for n in (10, 20, 30, 100, 200, 300)}
+
+
+def test_resolve_components_empty(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert resolve_components(df).count() == 0
+
+
+def test_resolve_components_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="did not converge"):
+        resolve_components(df, max_iter=2)

@@ -238,6 +238,77 @@ def minhash_lsh_pairs(
     )
 
 
+def resolve_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Resolve duplicate PAIRS into duplicate CLUSTERS: distributed
+    connected components, returning (id, component_id, keep) where
+    component_id is the component's minimum id and keep marks that minimum
+    — the canonical keep/drop set every corpus-dedup run needs after the
+    pair generators (transitivity: A~B, B~C ⇒ one cluster, drop two).
+
+    Algorithm: hash-to-min label propagation. Each node starts labeled with
+    its own id; every iteration each node takes the min of its label and
+    its neighbors' labels (one shuffle: edge⋈label join + groupBy-min).
+    Converges in O(component diameter) iterations — the right trade for
+    dedup graphs, whose components are near-cliques (banded LSH emits most
+    intra-cluster pairs directly, so diameters are 1-3; the
+    large-star/small-star O(log d) variant only pays off on long-chain
+    graphs). Convergence is CHECKED (label sets equal), not assumed;
+    raises if max_iter is hit while still changing.
+
+    Scale shape: the edge table is built once, symmetrized, persisted and
+    reused every iteration; labels are localCheckpoint'ed per iteration so
+    the plan does not grow with iteration count (an iterative self-join
+    otherwise compounds lineage until planning itself dominates). Per
+    iteration: one shuffle of |E| rows on id — no driver-side graph, no
+    collect; the only driver value is the per-iteration changed-count."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = _reused(edges)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_comp = edges.join(
+            labels.select(F.col("id").alias("src"), "comp"), "src"
+        ).select(F.col("dst").alias("id"), "comp")
+        new_labels = (
+            neighbor_comp.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)  # truncate lineage each round
+        )
+        # labels are monotone non-increasing, so "changed" == "decreased";
+        # one tiny count job per iteration is the convergence check
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") < F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"resolve_components did not converge in {max_iter} iterations"
+        )
+    return labels.select(
+        "id",
+        F.col("comp").alias("component_id"),
+        (F.col("id") == F.col("comp")).alias("keep"),
+    )
+
+
 def simhash64(text: Column) -> Column:
     """64-bit simhash from word-token hash bit votes — pure JVM expressions.
 

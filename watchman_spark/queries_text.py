@@ -118,6 +118,50 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+# Duplicate-CLUSTER resolution over the jaccard pair table: the step between
+# pair generation and a usable dedup (transitivity: A~B, B~C ⇒ one cluster).
+# The oracle computes the same components via a recursive-CTE transitive
+# closure over the IDENTICAL pair SQL that dedup_ngram_jaccard already
+# proves matches the Spark pair set exactly.
+@register(
+    "dedup_resolve",
+    f"""WITH RECURSIVE {_SHINGLE_CTE.format(base=_PLANTED_SQL)},
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+          FROM sets a JOIN sets b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM shared
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.8),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        nodes AS (SELECT DISTINCT s AS id FROM edges)
+        SELECT CAST(n.id AS BIGINT) AS id,
+               CAST(LEAST(n.id, MIN(r.d)) AS BIGINT) AS component_id,
+               n.id = LEAST(n.id, MIN(r.d)) AS keep
+        FROM nodes n JOIN reach r ON r.s = n.id
+        GROUP BY n.id""",
+)
+def dedup_resolve(spark, sf_dir):
+    from .operators.dedup import resolve_components
+
+    pairs = ngram_jaccard_pairs(
+        _planted(spark, sf_dir), id_col="doc_id", text_col="text",
+        k=_SHINGLE_K, threshold=0.8, max_df=None,
+    )
+    return resolve_components(pairs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component_id").cast("long").alias("component_id"),
+        "keep",
+    )
+
+
 _COS_SQL = """round(
     list_dot_product(a.v, b.v)
     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)"""
