@@ -159,3 +159,82 @@ def test_ivf_topk_recall_and_determinism(spark, emb):
     assert 0 in ids and 999 in ids  # self + planted near-dup always found
     sims = {r["vec_id"]: r["cos_sim"] for r in got}
     assert sims[999] >= 0.999
+
+
+def _clustered(spark, n_clusters=20, per=40, dim=64):
+    """Planted clustered corpus: points tightly grouped around deterministic
+    cluster directions (cos ~0.99 intra-cluster). The driver's embeddings
+    table is uniform on the sphere (top-neighbor cos ~0.33) where NO
+    bucketed ANN can have high recall — the recall contract is only
+    meaningful on data with actual near-neighbor structure."""
+    rows = []
+    for c in range(n_clusters):
+        center = [math.sin(c * 13 + d * 5) for d in range(dim)]
+        cn = math.sqrt(sum(x * x for x in center))
+        center = [x / cn for x in center]
+        for j in range(per):
+            noise = [0.05 * math.sin(c * 7 + j * 11 + d * 3) for d in range(dim)]
+            v = [a + b for a, b in zip(center, noise)]
+            vn = math.sqrt(sum(x * x for x in v))
+            rows.append((c * per + j, [x / vn for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_knn_join_lsh_recall_all_queries(spark):
+    """Batch kNN (the many-query surface): for EVERY query in the batch,
+    the LSH kNN join top-k must recover >=0.9 of that query's brute-force
+    top-k on average, each query returns exactly k ranked rows with ranks
+    1..k and non-increasing cos_sim."""
+    from watchman_spark.operators.similarity import knn_join_lsh
+
+    emb = _clustered(spark).cache()
+    k = 10
+    qids = [c * 40 for c in range(20)]  # one query per planted cluster
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    got = knn_join_lsh(emb, queries, dim=64, k=k, n_planes=4, probes=1).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(qids)
+    recalls = []
+    for qid in qids:
+        rows = sorted(by_q[qid], key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, k + 1))
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        qd = emb.filter(F.col("vec_id") == qid).select(
+            as_double(F.col("embedding")).alias("q")
+        )
+        truth = {r["vec_id"] for r in brute_force_topk(emb, qd, k=k).collect()}
+        recalls.append(len(truth & {r["vec_id"] for r in rows}) / k)
+        assert qid in {r["vec_id"] for r in rows}  # self always retrieved
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_knn_join_ivf_recall_all_queries(spark):
+    """Batch kNN over the trained IVF index: same contract as the LSH
+    variant — average recall >=0.9 vs per-query brute force across the
+    whole query batch."""
+    from watchman_spark.operators.similarity import knn_join_ivf
+
+    emb = _clustered(spark).cache()
+    k = 10
+    qids = [c * 40 for c in range(20)]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    got = knn_join_ivf(emb, queries, k=k, n_centroids=8, nprobe=4).collect()
+    by_q: dict[int, set] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(by_q) == set(qids)
+    recalls = []
+    for qid in qids:
+        qd = emb.filter(F.col("vec_id") == qid).select(
+            as_double(F.col("embedding")).alias("q")
+        )
+        truth = {r["vec_id"] for r in brute_force_topk(emb, qd, k=k).collect()}
+        recalls.append(len(truth & by_q[qid]) / k)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls

@@ -168,6 +168,106 @@ def lsh_topk(
     )
 
 
+def knn_join_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q",
+    n_planes: int = 8,
+    probes: int = 1,
+) -> DataFrame:
+    """Batch ANN: top-k neighbors for EVERY row of a queries DataFrame
+    (semantic dedup / retrieval mining does kNN per document, not per one
+    query vector). Returns (query_id, vec_id, cos_sim, rank) with rank 1..k
+    per query.
+
+    Shape at scale: both sides get their LSH bucket map-side (pure JVM
+    expressions), queries expand to their probe set (probes=1 → 1+n_planes
+    rows per query, the Hamming-1 multi-probe dial), then ONE equi-join on
+    bucket — a shuffle hash join keyed on the bucket id — and a per-query
+    row_number window bounded to k. Each corpus vector lives in exactly one
+    bucket and the probe set is distinct, so the join cannot duplicate a
+    (query, corpus) candidate — no dedup pass needed before the window.
+    Raise n_planes as the corpus grows (2^n_planes buckets is the shuffle
+    key space; 16 planes → 65k keys keeps partitions balanced at 100 TB —
+    at small n_planes the handful of hot buckets is the skew risk)."""
+    from pyspark.sql import Window
+
+    base = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(query_vec_col)).alias("q")
+    ).withColumn("bucket", lsh_bucket(F.col("q"), dim, n_planes))
+    if probes >= 1:
+        q = q.select(
+            query_id_col,
+            "q",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.col("bucket"),
+                        *[
+                            F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                            for p in range(n_planes)
+                        ],
+                    )
+                )
+            ).alias("bucket"),
+        )
+    cand = base.join(q, "bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_join_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q",
+    train_iters: int = 1,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Batch ANN over an IVF index: every query probes its ``nprobe``
+    nearest centroid buckets; candidates are exact-cosine ranked per query.
+    Same join/window shape as knn_join_lsh, with the centroid id as the
+    bucket key (n_centroids shuffle keys — size it ~sqrt(corpus) at scale).
+    Pass ``centroids`` to reuse a prebuilt index across calls."""
+    from pyspark.sql import Window
+
+    if centroids is not None:
+        cents = centroids
+    elif train_iters > 0:
+        cents = ivf_train(corpus, n_centroids, train_iters, id_col, vec_col)
+    else:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    probe = _assign_udf(cents, nprobe=nprobe)
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(query_vec_col)).alias("q")
+    ).withColumn("centroid", F.explode(probe(F.col("q"))))
+    cand = assigned.join(q, "centroid").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) coarse quantization — the second standard ANN scale
 # path beside LSH. Index = deterministic centroid picks + per-vector

@@ -279,6 +279,53 @@ def ann_lsh_multiprobe(spark, sf_dir):
     return lsh_topk(emb, q, dim=64, k=20, n_planes=4, probes=1)
 
 
+# Batch ANN (kNN JOIN): top-k for EVERY query row, not one query vector —
+# the operator a semantic-dedup / retrieval-mining pipeline actually runs.
+@register(
+    "ann_knn_join",
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_lsh_bucket_sql('v', 64, 4)} AS bkt FROM v),
+        q AS (SELECT vec_id AS query_id, v AS q, bkt AS qbkt FROM b WHERE vec_id < 10),
+        probes AS (SELECT query_id, q,
+                          unnest([qbkt, xor(qbkt, 1), xor(qbkt, 2),
+                                  xor(qbkt, 4), xor(qbkt, 8)]) AS bkt
+                   FROM q),
+        cand AS (
+          SELECT p.query_id, b.vec_id,
+                 round(list_dot_product(b.v, p.q)
+                       / (sqrt(list_dot_product(b.v, b.v))
+                          * sqrt(list_dot_product(p.q, p.q))), 4) AS cos_sim
+          FROM b JOIN probes p ON b.bkt = p.bkt),
+        ranked AS (
+          SELECT query_id, vec_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+          FROM cand)
+        SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5""",
+)
+def ann_knn_join(spark, sf_dir):
+    from .operators.similarity import knn_join_lsh
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    return knn_join_lsh(emb, queries, dim=64, k=5, n_planes=4, probes=1)
+
+
+@register("ann_knn_join_ivf", None)  # rows-only: centroid training is Arrow/numpy
+def ann_knn_join_ivf(spark, sf_dir):
+    # batch kNN over the Lloyd-trained IVF index; per-query recall vs brute
+    # force asserted >=0.9 in tests/test_similarity.py
+    from .operators.similarity import knn_join_ivf
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    return knn_join_ivf(emb, queries, k=5, n_centroids=8, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
