@@ -238,3 +238,22 @@ def test_knn_join_ivf_recall_all_queries(spark):
         truth = {r["vec_id"] for r in brute_force_topk(emb, qd, k=k).collect()}
         recalls.append(len(truth & by_q[qid]) / k)
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_train_lean_equals_exploded_oracle(spark):
+    """The round-4 shuffle-lean Lloyd step (per-task partial sums inside
+    the assignment Arrow pass, n_partitions*k shuffle rows) must produce
+    the SAME trained centroids as the old posexplode+groupBy path
+    (n_rows*dim shuffle rows) on the driver's embeddings table — the old
+    path is kept as _ivf_train_exploded purely as this oracle."""
+    from watchman_spark.operators.similarity import _ivf_train_exploded, ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    lean = ivf_train(emb, 16, iters=2)
+    oracle = _ivf_train_exploded(emb, 16, iters=2)
+    assert len(lean) == len(oracle) == 16
+    for c, (lc, oc) in enumerate(zip(lean, oracle)):
+        for p, (lv, ov) in enumerate(zip(lc, oc)):
+            assert abs(lv - ov) <= 1e-9, (c, p, lv, ov)
+    # and lean is itself deterministic across runs
+    assert ivf_train(emb, 16, iters=2) == lean

@@ -304,13 +304,98 @@ def ivf_train(
 ) -> list[list[float]]:
     """Lloyd-refined IVF centroids (round-3: the random-pick index trails a
     trained one at large n_centroids). Start from the deterministic seed
-    picks, then run ``iters`` k-means iterations; each iteration is ONE
-    Spark job — the Arrow numpy-matmul assignment map followed by a
-    groupBy(centroid, pos) mean over the posexploded components (both
-    deterministic: assignment argsort is stable, and the per-component avg
-    is rounded to 9 dp so partition summation order cannot leak in). The
-    collected result is n_centroids × dim — metadata-sized, like the seeds.
-    Empty clusters keep their previous centroid (k never degenerates)."""
+    picks, then run ``iters`` k-means iterations. Round-4 rewrite of the
+    iteration's shuffle shape: the old path posexploded every vector and
+    grouped by (centroid, pos) — an exchange of n_rows × dim rows, a
+    dim-fold (64×-here) shuffle amplification of the corpus per iteration.
+    Now the SAME Arrow pass that assigns vectors also accumulates per-task
+    partial centroid sums and emits k rows per task (mapInPandas), so the
+    exchange carries n_partitions × k rows (each a dim-array) instead of
+    n_rows × dim scalars — at 10^9 rows / 200 partitions / k=256 that is a
+    ~10^6-fold shuffle-volume drop. Determinism: the final reduce
+    array_sorts the partials by partition id and folds them in that fixed
+    order with zip_with (JVM sequential fold), then rounds the mean to
+    9 dp — no dependence on shuffle arrival order. Old-path equality at
+    test scale is asserted in tests/test_similarity.py. Empty clusters
+    keep their previous centroid (k never degenerates)."""
+    cents = ivf_centroids(df, n_centroids, id_col, vec_col)
+    base = df.select(as_double(F.col(vec_col)).alias("v"))
+    for _ in range(iters):
+        rows = _partial_sums(base, cents).collect()
+        new = [list(c) for c in cents]  # empty clusters keep previous centroid
+        for r in rows:
+            new[r["centroid"]] = list(r["m"])
+        cents = new
+    return cents
+
+
+def _partial_sums(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """One Lloyd step, shuffle-lean: assignment + per-task partial sums in
+    a single Arrow pass, tiny deterministic final reduce. Returns
+    (centroid, m: array<double>) — the new mean per non-empty centroid."""
+    C = np.asarray(centroids, dtype=np.float64)
+    k, dim = C.shape
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def partials(batches):
+        sums = np.zeros((k, dim))
+        cnts = np.zeros(k, dtype=np.int64)
+        pid = -1
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            a = np.argmax(Mn @ Cn.T, axis=1)  # ties -> lowest index (stable)
+            for c in np.unique(a):
+                mask = a == c
+                sums[c] += M[mask].sum(axis=0)
+                cnts[c] += int(mask.sum())
+        live = np.nonzero(cnts)[0]
+        if len(live):
+            yield pd.DataFrame(
+                {
+                    "pid": [pid] * len(live),
+                    "centroid": [int(c) for c in live],
+                    "cnt": [int(cnts[c]) for c in live],
+                    "sums": [sums[c].tolist() for c in live],
+                }
+            )
+
+    zero = F.array_repeat(F.lit(0.0), dim)
+    return (
+        base.withColumn("pid", F.spark_partition_id())
+        .mapInPandas(partials, "pid int, centroid int, cnt long, sums array<double>")
+        .groupBy("centroid")
+        .agg(F.array_sort(F.collect_list(F.struct("pid", "cnt", "sums"))).alias("ps"))
+        .select(
+            "centroid",
+            F.aggregate(
+                "ps", F.lit(0).cast("long"), lambda acc, x: acc + x["cnt"]
+            ).alias("cnt"),
+            F.aggregate(
+                "ps", zero, lambda acc, x: F.zip_with(acc, x["sums"], lambda a, b: a + b)
+            ).alias("sums"),
+        )
+        .select(
+            "centroid",
+            F.transform("sums", lambda s: F.round(s / F.col("cnt"), 9)).alias("m"),
+        )
+    )
+
+
+def _ivf_train_exploded(
+    df: DataFrame,
+    n_centroids: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The pre-round-4 training step (posexplode + groupBy(centroid, pos)
+    mean — n_rows × dim shuffle). Kept ONLY as the test oracle for the
+    shuffle-lean path: tests/test_similarity.py asserts both paths produce
+    equal centroids at test scale."""
     cents = ivf_centroids(df, n_centroids, id_col, vec_col)
     base = df.select(as_double(F.col(vec_col)).alias("v"))
     for _ in range(iters):
@@ -322,7 +407,7 @@ def ivf_train(
             .agg(F.round(F.avg("x"), 9).alias("m"))
             .collect()
         )
-        new = [list(c) for c in cents]  # empty clusters keep previous centroid
+        new = [list(c) for c in cents]
         for r in rows:
             new[r["centroid"]][r["pos"]] = r["m"]
         cents = new
