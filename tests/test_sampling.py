@@ -192,3 +192,34 @@ def test_hash_sample_string_key_and_unit_preservation(spark):
     want = {f"user{u}" for u in range(300)
             if hashlib.md5(f"user{u}".encode()).hexdigest()[:4] < thr}
     assert set(got_counts) == want
+
+
+def test_pack_sequences_grouped_equals_per_group(spark):
+    """group_cols packing (one job) must produce EXACTLY the packs of
+    running pack_sequences separately per group — the property that makes
+    the single-pass docs_prep_pipeline a pure shape change."""
+    n = 3_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(600)) + 1).alias("n_tok"),
+        F.when(F.col("id") % 3 == 0, "train")
+        .when(F.col("id") % 3 == 1, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    grouped = pack_sequences(
+        docs, "doc_id", "n_tok", 512, n_buckets=8, group_cols=["split"]
+    ).collect()
+    got = {
+        (r["split"], r["pack_id"]): (tuple(r["doc_ids"]), r["total_tokens"])
+        for r in grouped
+    }
+    want = {}
+    for name in ("train", "val", "test"):
+        for r in pack_sequences(
+            docs.filter(F.col("split") == name), "doc_id", "n_tok", 512, n_buckets=8
+        ).collect():
+            want[(name, f"{name}/{r['pack_id']}")] = (
+                tuple(r["doc_ids"]), r["total_tokens"],
+            )
+    assert got == want

@@ -120,20 +120,30 @@ def pack_sequences(
     tokens_col: str,
     max_tokens: int,
     n_buckets: int = 64,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distributed best-fit-decreasing sequence packing.
 
-    Returns one row per pack: (pack_id string, doc_ids array<long> in pack
-    order, n_docs, total_tokens, fill_ratio). Invariants (pytested):
-    every input id appears in exactly one pack exactly once; total_tokens
-    <= max_tokens unless the pack is a single oversized document (which is
-    emitted alone rather than dropped — the caller decides truncation).
+    Returns one row per pack: (*group_cols, pack_id string, doc_ids
+    array<long> in pack order, n_docs, total_tokens, fill_ratio).
+    Invariants (pytested): every input id appears in exactly one pack
+    exactly once; total_tokens <= max_tokens unless the pack is a single
+    oversized document (which is emitted alone rather than dropped — the
+    caller decides truncation).
+
+    ``group_cols`` pack WITHIN each group (e.g. ["split"]) in the SAME
+    single job — the grouping key becomes (*group_cols, bucket), so a
+    pipeline packing train/val/test needs one pack job over one scan, not
+    one filtered job per split (round-4 change; pack contents per group are
+    identical to packing each group separately, since the id-hash
+    bucketing is independent of the grouping).
 
     Shape at scale: ONE shuffle (hash-bucket the ids), then packing is an
     Arrow-batch-local loop over each bucket's (tokens, id) pairs — memory
     per task is the bucket's id+token pairs only (16 bytes/doc), not the
     documents. Determinism: bucket = pmod(xxhash64(id), n_buckets); the
-    decreasing order sorts by (-tokens, id); pack_id = "<bucket>/<seq>".
+    decreasing order sorts by (-tokens, id); pack_id =
+    "<group.../><bucket>/<seq>".
     """
     from pyspark.sql.types import (
         ArrayType,
@@ -145,8 +155,11 @@ def pack_sequences(
         StructType,
     )
 
+    group_cols = list(group_cols or [])
+    in_types = {f.name: f.dataType for f in df.schema.fields}
     out_schema = StructType(
-        [
+        [StructField(c, in_types[c]) for c in group_cols]
+        + [
             StructField("pack_id", StringType()),
             StructField("doc_ids", ArrayType(LongType())),
             StructField("n_docs", IntegerType()),
@@ -163,13 +176,15 @@ def pack_sequences(
         # an opaque `astype(int)` ValueError deep in the executor (and its
         # bucket assignment was degenerate). Packing ids must be non-null —
         # name the offending column in the error so the caller can filter.
-        if key[0] is None or pdf["__id"].isna().any():
+        *gvals, bucket_key = key
+        if bucket_key is None or pdf["__id"].isna().any():
             raise ValueError(
                 f"pack_sequences: id_col {id_col!r} contains null or "
                 f"non-integer values ({int(pdf['__id'].isna().sum())} in "
                 "this bucket); filter or repair ids before packing"
             )
-        bucket = int(key[0])
+        bucket = int(bucket_key)
+        prefix = "/".join([str(v) for v in gvals] + [str(bucket)])
         # null token counts arrive as NaN after Arrow; treat as 0 (the doc
         # still gets packed — dropping it would break the exactly-once
         # invariant) rather than crash the cast
@@ -205,21 +220,26 @@ def pack_sequences(
                 j = bisect.bisect_left(residuals, rem)
                 residuals.insert(j, rem)
                 res_bin.insert(j, b)
-        return pd.DataFrame(
+        out = {c: [v] * len(bins) for c, v in zip(group_cols, gvals)}
+        out.update(
             {
-                "pack_id": [f"{bucket}/{i}" for i in range(len(bins))],
+                "pack_id": [f"{prefix}/{i}" for i in range(len(bins))],
                 "doc_ids": bins,
                 "n_docs": [len(b) for b in bins],
                 "total_tokens": sums,
                 "fill_ratio": [s / max_tokens for s in sums],
             }
         )
+        return pd.DataFrame(out)
 
     prepped = df.select(
+        *group_cols,
         F.col(id_col).cast("long").alias("__id"),
         F.col(tokens_col).cast("long").alias("__tok"),
         F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_buckets))
         .cast("int")
         .alias("__bucket"),
     )
-    return prepped.groupBy("__bucket").applyInPandas(pack, schema=out_schema)
+    return prepped.groupBy(*group_cols, "__bucket").applyInPandas(
+        pack, schema=out_schema
+    )

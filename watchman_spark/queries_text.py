@@ -571,13 +571,22 @@ def docs_prep_pipeline(spark, sf_dir):
     mean fill). Every stage is an already-verified operator; this query
     pins that they COMPOSE — same shapes, no collects between stages.
     Stage-by-stage invariants (doc conservation through packing, split
-    totality, dedup idempotence) are pytested in tests/test_sampling.py."""
+    totality, dedup idempotence) are pytested in tests/test_sampling.py.
+
+    Round-4 shape fix: ONE pack job grouped by (split, bucket) over ONE
+    scan — the old version ran three pack jobs over three filtered scans
+    of the cleaned table (3x the scan/pack work at 100 TB) and computed
+    token counts twice. n_tok is now computed once and carried through;
+    pack contents per split are identical to the per-split jobs (the
+    id-hash bucketing is split-independent; asserted in
+    tests/test_sampling.py)."""
     from pyspark.sql import Window
 
-    d = t(spark, sf_dir, "documents")
-    tok = textstats.token_count_ws(F.col("text"))
+    d = t(spark, sf_dir, "documents").withColumn(
+        "n_tok", textstats.token_count_ws(F.col("text"))
+    )
     clean = d.filter(
-        tok.between(5, 1000)
+        F.col("n_tok").between(5, 1000)
         & (textstats.quality_score(F.col("text")) >= 0.3)
         & (textstats.stopword_hits(F.col("text"), "en") > 0)
     )
@@ -586,27 +595,18 @@ def docs_prep_pipeline(spark, sf_dir):
     rn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
     unique = clean.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
     split_docs = sampling.with_split(unique, "doc_id", _SPLITS).select(
-        "doc_id", "split", textstats.token_count_ws(F.col("text")).alias("n_tok")
+        "doc_id", "split", "n_tok"
     )
-    per_split = []
-    for name in _SPLITS:
-        packs = sampling.pack_sequences(
-            split_docs.filter(F.col("split") == name),
-            id_col="doc_id", tokens_col="n_tok", max_tokens=512, n_buckets=8,
-        )
-        per_split.append(
-            packs.agg(
-                F.lit(name).alias("split"),
-                F.sum("n_docs").cast("long").alias("n_docs"),
-                F.sum("total_tokens").cast("long").alias("total_tokens"),
-                F.count(F.lit(1)).cast("long").alias("n_packs"),
-                F.round(F.avg("fill_ratio"), 4).alias("mean_fill"),
-            )
-        )
-    out = per_split[0]
-    for p in per_split[1:]:
-        out = out.unionByName(p)
-    return out
+    packs = sampling.pack_sequences(
+        split_docs, id_col="doc_id", tokens_col="n_tok", max_tokens=512,
+        n_buckets=8, group_cols=["split"],
+    )
+    return packs.groupBy("split").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.round(F.avg("fill_ratio"), 4).alias("mean_fill"),
+    )
 
 
 # ---------------------------------------------------------------------------
