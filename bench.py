@@ -351,29 +351,41 @@ def main() -> None:
         print(json.dumps({"cpus": CPUS, "rows": rows, "secs": round(secs, 3)}))
         return
 
+    import statistics
+
     import __spark_entry__ as entrymod
 
     spark = get_session(CPUS)
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
 
-    # transcript pipeline throughput (the BASELINE.json:2 metric);
-    # one untimed warmup first — a fresh JVM's first heavy job is
-    # JIT-dominated and would misreport steady-state throughput
+    # Round-4 measurement fix: the old shape (warmup + single timed run per
+    # query, best-of-2 for the pipeline) made BENCH_r{N} a weather report on
+    # this drifting host — r3 "regressed" 40% vs r2 while a re-run of the
+    # same code was FASTER than either. Same discipline the scaling and
+    # prefilter modes already use: 3+ INTERLEAVED cycles over the whole
+    # query set (so adjacent cycles of any one query span the drift), report
+    # per-query MEDIANS, and record every cycle's wall in the JSON.
+    cycles = int(os.environ.get("WATCHMAN_BENCH_CYCLES", "3"))
+    walls: dict[str, list[float]] = {"transcripts_pipeline": []}
+
+    # untimed warmup pass — a fresh JVM's first heavy job is JIT-dominated
     tpath = ensure_bench_transcripts(spark)
     run_transcript_pipeline(spark, tpath)
-    runs = [run_transcript_pipeline(spark, tpath) for _ in range(2)]
-    t_rows = runs[0][0]
-    t_secs = min(s for _, s in runs)
-    timings["transcripts_pipeline"] = round(t_secs, 3)
-
     for name in HEADLINE:
-        fn = qs[name]
-        fn(spark, SF_DIR).count()  # warmup: plan + JIT, untimed
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+        walls[name] = []
+        qs[name](spark, SF_DIR).count()
 
+    t_rows = 0
+    for _ in range(cycles):
+        t_rows, secs = run_transcript_pipeline(spark, tpath)
+        walls["transcripts_pipeline"].append(round(secs, 3))
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            walls[name].append(round(time.time() - t0, 3))
+
+    timings = {n: round(statistics.median(w), 3) for n, w in walls.items()}
+    t_secs = timings["transcripts_pipeline"]
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1] if "sf" in SF_DIR else SF_DIR
     print(
@@ -383,6 +395,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cycle_walls": walls,
+                "cycles": cycles,
                 "sf": sf,
                 "cpus": CPUS,
                 "transcript_turns": t_rows,
