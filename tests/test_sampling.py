@@ -223,3 +223,43 @@ def test_pack_sequences_grouped_equals_per_group(spark):
                 tuple(r["doc_ids"]), r["total_tokens"],
             )
     assert got == want
+
+
+def test_pack_sequences_external_token_counts(spark):
+    """docs/TOKENIZER.md contract: packing driven end-to-end by an EXTERNAL
+    precomputed token-count table joined on doc_id (the swap-in shape for a
+    real BPE tokenizer) — tokens_col is just a column name; invariants hold
+    and the packs are genuinely a function of the external counts."""
+    n = 2_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    )
+    # stand-in for a tokenize-once table: counts deliberately unlike any
+    # in-repo estimator (e.g. 3*id%700+1), stored separately and joined on
+    ext = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 3) % 700 + 1).alias("bpe_tok"),
+    )
+    joined = docs.join(ext, "doc_id")
+    packs = pack_sequences(
+        joined, id_col="doc_id", tokens_col="bpe_tok", max_tokens=512, n_buckets=8
+    ).collect()
+    seen = sorted(i for p in packs for i in p["doc_ids"])
+    assert seen == list(range(n))  # exactly once each
+    want_total = sum((i * 3) % 700 + 1 for i in range(n))
+    assert sum(p["total_tokens"] for p in packs) == want_total
+    for p in packs:
+        assert p["total_tokens"] <= 512 or p["n_docs"] == 1
+    # the packing is a function of the EXTERNAL counts: same ids with a
+    # different external table give different packs
+    ext2 = spark.range(n).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 7) % 700 + 1).alias("bpe_tok")
+    )
+    packs2 = pack_sequences(
+        docs.join(ext2, "doc_id"), id_col="doc_id", tokens_col="bpe_tok",
+        max_tokens=512, n_buckets=8,
+    ).collect()
+    assert {(p["pack_id"], tuple(p["doc_ids"])) for p in packs} != {
+        (p["pack_id"], tuple(p["doc_ids"])) for p in packs2
+    }
