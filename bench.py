@@ -114,7 +114,9 @@ def ensure_bench_transcripts(spark, synth: dict | None = None) -> str:
 def run_transcript_pipeline(spark, path: str) -> tuple[int, float]:
     """The headline job: the REAL end-to-end pipeline (parse → enrich →
     route → single-pass partitioned sink write → aggregates → ledger)
-    against a fresh temp warehouse. Returns (rows, seconds)."""
+    against a fresh temp warehouse. Returns (rows, seconds). The last
+    run's per-stage walls (run_pipeline's stage marks) are exposed as
+    ``run_transcript_pipeline.last_stages`` for phase-isolated series."""
     import shutil
     import tempfile
 
@@ -135,6 +137,7 @@ def run_transcript_pipeline(spark, path: str) -> tuple[int, float]:
             spark, cfg, input_df=df, role_dim=role_dim(spark), tool_dim=tool_dim(spark)
         )
         secs = time.time() - t0
+        run_transcript_pipeline.last_stages = dict(m.stages)
         return m.rows_in, secs
     finally:
         shutil.rmtree(wh_root, ignore_errors=True)
@@ -647,6 +650,11 @@ def scaling_main() -> None:
     ensure_cluster(n_workers=4, cores=2, mem="12g")
     e2e: dict[int, list[float]] = {n_a: [], n_b: []}
     mponly: dict[int, list[float]] = {n_a: [], n_b: []}
+    # write-phase wall of the best e2e run per cycle (run_pipeline's own
+    # stage mark): isolates the one phase whose bytes go through shared
+    # tmpfs pages, so its series can be read against the tmpfs_alloc
+    # calibration ceiling instead of blurring into the e2e number
+    wphase: dict[int, list[float]] = {n_a: [], n_b: []}
     rows = 0
     path = None
     try:
@@ -660,15 +668,18 @@ def scaling_main() -> None:
                 # JIT-dominated (measured: run0 ~2.5x run1 on this job)
                 run_transcript_pipeline(spark, path)
                 r1, s1 = run_transcript_pipeline(spark, path)
+                w1 = run_transcript_pipeline.last_stages.get("write", 0.0)
                 _, s2 = run_transcript_pipeline(spark, path)
+                w2 = run_transcript_pipeline.last_stages.get("write", 0.0)
                 rows = r1
                 e2e[n].append(min(s1, s2))
+                wphase[n].append(w1 if s1 <= s2 else w2)
                 _, p1 = run_parse_route_only(spark, path)
                 _, p2 = run_parse_route_only(spark, path)
                 mponly[n].append(min(p1, p2))
                 print(
                     f"cycle {cycle} {n}exec: e2e={e2e[n][-1]:.2f}s "
-                    f"parse={mponly[n][-1]:.2f}s",
+                    f"write={wphase[n][-1]:.2f}s parse={mponly[n][-1]:.2f}s",
                     file=sys.stderr,
                     flush=True,
                 )
@@ -693,6 +704,8 @@ def scaling_main() -> None:
         "e2e_4n": [round(t, 2) for t in e2e[n_b]],
         "parse_n": [round(t, 2) for t in mponly[n_a]],
         "parse_4n": [round(t, 2) for t in mponly[n_b]],
+        "write_n": [round(t, 2) for t in wphase[n_a]],
+        "write_4n": [round(t, 2) for t in wphase[n_b]],
         "calib": calib,
     }
     runs_path = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
@@ -751,6 +764,33 @@ def render_scaling_report() -> None:
     best_4n = min(x for r in runs for x in r["e2e_4n"])
     best_p4n = min(x for r in runs for x in r["parse_4n"])
 
+    # write-phase-isolated series (recorded from round 4 on; older runs in
+    # the jsonl predate the stage capture and are skipped here)
+    wruns = [r for r in runs if "write_n" in r]
+    all_write = sorted(x for r in wruns for x in effs(r, "write"))
+    tmpfs_ceilings = [r["calib"]["tmpfs_alloc"]["eff"] for r in wruns]
+    write_section = ""
+    if wruns:
+        write_section = f"""
+## Write-phase-isolated scaling (the e2e residual, measured directly)
+
+The partitioned sink write is the one phase whose bytes go through fresh
+shared-tmpfs pages; run_pipeline's own stage marks isolate its wall per
+cycle (write wall of the best e2e run, both levels):
+
+- write-phase walls at N (s): {"; ".join(str(r["write_n"]) for r in wruns)}
+- write-phase walls at 4N (s): {"; ".join(str(r["write_4n"]) for r in wruns)}
+- **write-phase efficiency: median {statistics.median(all_write):.3f}**
+  (cycles sorted: {", ".join(f"{x:.3f}" for x in all_write)})
+- same-run tmpfs fresh-page calibration ceiling(s):
+  {", ".join(f"{c:.3f}" for c in tmpfs_ceilings)}
+
+Reading: the write phase scales at/near what the SHARED tmpfs itself can
+show for 4->16 writer processes (the calibration ceiling above) — the gap
+between the parse+route series and e2e is this phase paying a
+one-memory-system tax that a real cluster (per-node disks) does not levy.
+"""
+
     run_sections = "\n\n".join(
         f"## Run {i + 1} ({len(r['e2e_n'])} cycles)\n\n{run_table(r)}"
         for i, r in enumerate(runs)
@@ -803,7 +843,7 @@ bounds the criterion from below.
   (cycles sorted: {", ".join(f"{x:.3f}" for x in all_parse)}). Target ≥ 0.8.
 - Best 4N throughput: **{rows / best_p4n:,.0f} turns/s parse+route,
   {rows / best_4n:,.0f} turns/s end-to-end** (8 executor cores).
-
+{write_section}
 Within-cycle splits are the variance story: a cycle can show parse
 scaling above 1.0 while end-to-end lands near 0.6 — the write phase hit a
 transient shared-tmpfs page-allocation stall that the map phase, which
