@@ -258,3 +258,55 @@ def test_resolve_components_nonconvergence_raises(spark):
     import pytest as _pt
     with _pt.raises(RuntimeError, match="did not converge"):
         resolve_components(df, max_iter=2)
+
+
+def test_contamination_planted_leak(spark):
+    """A test doc that is a verbatim copy of a train doc must report
+    contam_ratio 1.0 / contaminated; a disjoint-vocabulary test doc must
+    report 0.0; a short (<k words) test doc reports n_sh=0 without error."""
+    from watchman_spark.operators.dedup import contamination
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine")],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),  # full leak
+         (11, "red orange yellow green blue indigo violet pink"),  # clean
+         (12, "too short")],                                      # no shingles
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in
+           contamination(train, test, "doc_id", "text", k=5, threshold=0.2).collect()}
+    assert got[10]["contam_ratio"] == 1.0 and got[10]["contaminated"]
+    assert got[11]["contam_ratio"] == 0.0 and not got[11]["contaminated"]
+    assert got[12]["n_sh"] == 0 and got[12]["contam_ratio"] == 0.0
+    # partial leak: half the shingles shared -> ratio strictly between
+    test2 = spark.createDataFrame(
+        [(20, "alpha beta gamma delta epsilon nine eight seven six")],
+        ["doc_id", "text"],
+    )
+    r = contamination(train, test2, "doc_id", "text", k=5).collect()[0]
+    assert 0.0 < r["contam_ratio"] < 1.0
+
+
+def test_lsh_clusters_composed_drop_set(spark):
+    """The composed minhash-LSH → resolve_components query: every planted
+    full copy (doc, doc+100000) resolves into one component keeping the
+    low id and dropping the copy."""
+    from watchman_spark.queries_text import dedup_lsh_clusters
+
+    rows = {r["id"]: r for r in dedup_lsh_clusters(spark, "/root/testdata/sf0.001").collect()}
+    planted = [i for i in rows if i >= 100000]
+    assert planted, "no planted copies surfaced in the pair graph"
+    for cid in planted:
+        orig = cid - 100000
+        assert orig in rows
+        assert rows[cid]["component_id"] == rows[orig]["component_id"]
+        assert not rows[cid]["keep"]  # the copy is dropped
+    # exactly one keep per component
+    comps: dict[int, int] = {}
+    for r in rows.values():
+        comps[r["component_id"]] = comps.get(r["component_id"], 0) + (1 if r["keep"] else 0)
+    assert all(v == 1 for v in comps.values())

@@ -238,6 +238,46 @@ def minhash_lsh_pairs(
     )
 
 
+def contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Train/test contamination check (decontamination, the step every
+    eval-aware pretraining pipeline runs): for each TEST document, the
+    fraction of its distinct word-k-gram shingles that appear anywhere in
+    the TRAIN split. Returns (id, n_sh, hits, contam_ratio, contaminated).
+
+    Shape at scale: distinct train shingles (one shuffle on the shingle —
+    at 100 TB this is the corpus's shingle vocabulary, hash-partitioned),
+    then ONE equi-join test-shingles⋈train-shingles — linear, not a
+    self-join, so no df cap is needed — and a per-doc count. Test docs with
+    fewer than k words have no shingles and are reported with n_sh=0,
+    contam_ratio 0.0 (nothing to leak)."""
+    tr = shingle_table(train, id_col, text_col, k).select("shingle").distinct()
+    te = shingle_table(test, id_col, text_col, k)
+    sizes = te.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = te.join(tr, "shingle").groupBy("id").agg(F.count(F.lit(1)).alias("hits"))
+    # floor-truncate, not round: round-half semantics differ between
+    # engines and hits/n_sh lands on exact binary halves (e.g. 1/32)
+    ratio = F.floor(F.col("hits") * 10000 / F.col("n_sh")).cast("double") / 10000
+    return (
+        test.select(F.col(id_col).alias("id"))
+        .join(sizes, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_sh", F.lit(0)).alias("n_sh"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.coalesce(ratio, F.lit(0.0)).alias("contam_ratio"),
+        )
+        .withColumn("contaminated", F.col("contam_ratio") >= threshold)
+    )
+
+
 def resolve_components(
     pairs: DataFrame,
     id_a: str = "id_a",

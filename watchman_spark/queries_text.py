@@ -279,6 +279,73 @@ def ann_lsh_multiprobe(spark, sf_dir):
     return lsh_topk(emb, q, dim=64, k=20, n_planes=4, probes=1)
 
 
+# Train/test decontamination: per-test-doc fraction of distinct word-8-gram
+# shingles appearing anywhere in the train split (the eval-leak check every
+# pretraining pipeline runs before training). Split = the same portable
+# md5-hex-prefix predicate the sampling operators use, so the oracle
+# reproduces membership exactly; ratios floor-truncate (the quality_score
+# lesson: round-half semantics differ across engines).
+_DECON_THR = sampling.frac_to_hex_threshold(0.9)
+
+
+@register(
+    "text_decontaminate",
+    f"""WITH split AS (
+          SELECT doc_id, text,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_DECON_THR}'
+                   AS is_train
+          FROM documents),
+        docs AS (SELECT doc_id, is_train, string_split(text, ' ') AS w FROM split),
+        sets AS (
+          SELECT DISTINCT doc_id, is_train, shingle FROM (
+            SELECT doc_id, is_train,
+                   unnest(list_distinct([array_to_string(w[i:i+{_SHINGLE_K - 1}], ' ')
+                          for i in generate_series(1, len(w)-{_SHINGLE_K - 1})])) AS shingle
+            FROM docs WHERE len(w) >= {_SHINGLE_K})),
+        tr AS (SELECT DISTINCT shingle FROM sets WHERE is_train),
+        te AS (SELECT doc_id, shingle FROM sets WHERE NOT is_train),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM te GROUP BY doc_id),
+        hits AS (SELECT te.doc_id, COUNT(*) AS hits
+                 FROM te JOIN tr USING (shingle) GROUP BY te.doc_id)
+        SELECT s.doc_id AS id,
+               COALESCE(sz.n_sh, 0) AS n_sh,
+               COALESCE(h.hits, 0) AS hits,
+               COALESCE(CAST(floor(h.hits * 10000.0 / sz.n_sh) AS DOUBLE) / 10000,
+                        0.0) AS contam_ratio,
+               COALESCE(CAST(floor(h.hits * 10000.0 / sz.n_sh) AS DOUBLE) / 10000,
+                        0.0) >= 0.2 AS contaminated
+        FROM (SELECT doc_id FROM split WHERE NOT is_train) s
+        LEFT JOIN sizes sz ON sz.doc_id = s.doc_id
+        LEFT JOIN hits h ON h.doc_id = s.doc_id""",
+)
+def text_decontaminate(spark, sf_dir):
+    from .operators.dedup import contamination
+    from .operators.sampling import _hex_prefix
+
+    d = t(spark, sf_dir, "documents")
+    pred = _hex_prefix(F.col("doc_id")) < _DECON_THR
+    return contamination(
+        d.filter(pred), d.filter(~pred), "doc_id", "text",
+        k=_SHINGLE_K, threshold=0.2,
+    )
+
+
+@register("dedup_lsh_clusters", None)  # rows-only: xxhash64 signatures
+def dedup_lsh_clusters(spark, sf_dir):
+    """The composed production dedup: MinHash-LSH pair generation →
+    connected-component resolution → canonical keep/drop set, end-to-end
+    in one plan (the two operators the pair generators and dedup_resolve
+    verify separately, composed). Planted full copies must resolve to
+    drop exactly one of each pair (pytested in test_dedup.py)."""
+    from .operators.dedup import resolve_components
+
+    pairs = minhash_lsh_pairs(
+        _planted(spark, sf_dir), id_col="doc_id", text_col="text",
+        k=_SHINGLE_K, n_hashes=32, bands=4, threshold=0.8,
+    )
+    return resolve_components(pairs)
+
+
 # Batch ANN (kNN JOIN): top-k for EVERY query row, not one query vector —
 # the operator a semantic-dedup / retrieval-mining pipeline actually runs.
 @register(
