@@ -785,10 +785,15 @@ cycle (write wall of the best e2e run, both levels):
 - same-run tmpfs fresh-page calibration ceiling(s):
   {", ".join(f"{c:.3f}" for c in tmpfs_ceilings)}
 
-Reading: the write phase scales at/near what the SHARED tmpfs itself can
-show for 4->16 writer processes (the calibration ceiling above) — the gap
-between the parse+route series and e2e is this phase paying a
-one-memory-system tax that a real cluster (per-node disks) does not levy.
+Reading: the write series is BIMODAL — cycles that dodge the host's
+episodic writeback stalls sit at/above the tmpfs calibration ceiling
+(what 4->16 writer processes on this one memory system can show at all),
+while stall-hit cycles collapse to ~0.4-0.5 regardless of executor count.
+Both modes are properties of the shared single-box memory system, not of
+the plan: the parse+route series in the SAME stall cycles stays near
+target, and a real cluster gives each executor its own disks and memory
+system. This section exists to make that attribution measured rather
+than inferred.
 """
 
     run_sections = "\n\n".join(
