@@ -310,3 +310,23 @@ def test_lsh_clusters_composed_drop_set(spark):
     for r in rows.values():
         comps[r["component_id"]] = comps.get(r["component_id"], 0) + (1 if r["keep"] else 0)
     assert all(v == 1 for v in comps.values())
+
+
+def test_minhash_portable_matches_default_recall(spark):
+    """portable=True (md5 signatures + md5 band digests) must find the same
+    planted duplicate pairs as the xxhash64 default — the hash family
+    changes, the LSH semantics don't."""
+    base = [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7} filler{i} more{i} words{i}")
+            for i in range(30)]
+    rows = base + [(i + 1000, t) for i, t in base]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    default = {(r["id_a"], r["id_b"])
+               for r in minhash_lsh_pairs(df, "doc_id", "text", k=3,
+                                          n_hashes=16, bands=8, threshold=0.99).collect()}
+    portable = {(r["id_a"], r["id_b"])
+                for r in minhash_lsh_pairs(df, "doc_id", "text", k=3, n_hashes=16,
+                                           bands=8, threshold=0.99, portable=True).collect()}
+    for i, _ in base:
+        assert (i, i + 1000) in default and (i, i + 1000) in portable
+    # exact-duplicate pairs collide in EVERY band under any hash family
+    assert default == portable

@@ -139,15 +139,36 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, n_hashes: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_hashes: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, sig: array<long>) — sig[i] = min over shingles of
-    xxhash64(i, shingle). One explode + one groupBy; n_hashes aggregate
-    expressions, all JVM-side."""
+    """(id, sig) — sig[i] = min over shingles of hash(i, shingle). One
+    explode + one groupBy; n_hashes aggregate expressions, all JVM-side.
+
+    Default hash is xxhash64 (fast, engine-native — sig: array<long>).
+    ``portable=True`` switches to the lexicographic MIN of
+    md5(f"{i}|{shingle}") hex strings (sig: array<string>): MinHash only
+    needs a uniform hash with a total order, and md5-hex is bit-identical
+    in every engine — the same cross-engine trick that made the LSH plane
+    literals oracle-checkable (similarity.plane_signs). ~2-3x slower; use
+    the portable form for cross-engine audits, the default in production."""
     sh = shingle_table(df, id_col, text_col, k)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(n_hashes)
-    ]
+    if portable:
+        mins = [
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))
+            ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
     agg = sh.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
@@ -161,8 +182,15 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.6,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH candidates, verified with exact jaccard.
+
+    ``portable=True`` runs the whole pipeline on engine-reproducible md5
+    primitives (portable signatures + md5 band digests), making candidate
+    generation — not just the verify — bit-identical in any engine with
+    md5: the dedup_minhash_lsh_portable query's DuckDB oracle re-derives
+    signatures, buckets, candidates and jaccard from the same SQL.
 
     rows = n_hashes // bands per band; a pair is a candidate iff any band's
     row-slice of the signature matches exactly (hash-equality join on the
@@ -178,17 +206,23 @@ def minhash_lsh_pairs(
     is the DEFAULT; pass ``max_bucket=None`` to opt out of the bound.
     """
     rows = n_hashes // bands
-    sigs = _reused(minhash_signatures(df, id_col, text_col, k, n_hashes))
+    sigs = _reused(minhash_signatures(df, id_col, text_col, k, n_hashes, portable))
+
+    def band_digest(b: int):
+        cols = [F.col("sig")[i] for i in range(b * rows, (b + 1) * rows)]
+        if portable:
+            # md5 of the '|'-joined row slice: DuckDB's
+            # md5(string_agg(h, '|' ORDER BY i)) computes the identical hex
+            return F.md5(F.concat_ws("|", *cols).cast("binary"))
+        return F.xxhash64(*cols)
+
     banded = sigs.select(
         "id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[i] for i in range(b * rows, (b + 1) * rows)]
-                        ).alias("digest"),
+                        F.lit(b).alias("band"), band_digest(b).alias("digest")
                     )
                     for b in range(bands)
                 ]

@@ -111,6 +111,49 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# The PORTABLE MinHash-LSH pipeline: signatures, band digests, candidates
+# AND the jaccard verify all on md5 primitives both engines compute
+# bit-identically — upgrading the LSH candidate-generation semantics from
+# rows-only to a full DuckDB oracle (the plane-literals trick, applied to
+# minhash). The xxhash64 fast path above stays the production default.
+@register(
+    "dedup_minhash_lsh_portable",
+    f"""WITH {_SHINGLE_CTE.format(base=_PLANTED_SQL)},
+        sig AS (
+          SELECT doc_id, t.i AS i,
+                 MIN(md5(CAST(t.i AS VARCHAR) || '|' || shingle)) AS h
+          FROM sets CROSS JOIN generate_series(0, 31) t(i)
+          GROUP BY doc_id, t.i),
+        band AS (
+          SELECT doc_id, i // 8 AS band,
+                 md5(string_agg(h, '|' ORDER BY i)) AS digest
+          FROM sig GROUP BY doc_id, i // 8),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b
+            ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+        shared AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS shared
+          FROM cand c
+          JOIN sets sa ON sa.doc_id = c.id_a
+          JOIN sets sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(shared * 1.0 / (za.n_sh + zb.n_sh - shared), 4) AS jaccard
+        FROM shared
+        JOIN sizes za ON za.doc_id = id_a
+        JOIN sizes zb ON zb.doc_id = id_b
+        WHERE round(shared * 1.0 / (za.n_sh + zb.n_sh - shared), 4) >= 0.8""",
+)
+def dedup_minhash_lsh_portable(spark, sf_dir):
+    # max_bucket=None: the oracle has no cap — exact candidate semantics
+    return minhash_lsh_pairs(
+        _planted(spark, sf_dir), id_col="doc_id", text_col="text",
+        k=_SHINGLE_K, n_hashes=32, bands=4, threshold=0.8,
+        max_bucket=None, portable=True,
+    )
+
+
 @register("dedup_simhash", None)  # rows-only: xxhash64 bit votes
 def dedup_simhash(spark, sf_dir):
     return simhash_pairs(
