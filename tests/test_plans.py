@@ -144,3 +144,31 @@ def test_pipeline_single_exchange(spark, tmp_path):
     shuffles = re.findall(r"Exchange hashpartitioning", plan)
     assert len(shuffles) == 1, plan[:500]
     assert plan.count("BroadcastExchange") == 2
+
+
+def test_knn_join_no_cartesian_and_windowed(spark):
+    """Batch kNN: the candidate join must be a bucket equi-join (never a
+    cartesian/broadcast-nested-loop over the corpus) feeding one window —
+    the shape that survives a 100x corpus."""
+    plan = plan_of(spark, "ann_knn_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan  # per-query row_number top-k
+
+
+def test_dedup_resolve_checkpointed_iterations(spark):
+    """Connected components: the executed plan of the converged result must
+    be lineage-truncated (localCheckpoint scan), NOT a tower of iteration
+    self-joins — the property that keeps planning O(1) in iteration count."""
+    plan = plan_of(spark, "dedup_resolve")
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    # the final plan joins nothing: it is a projection over the checkpoint
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_contamination_is_equi_join(spark):
+    """Decontamination joins test shingles against the distinct train
+    vocabulary with a hash/sort-merge EQUI-join — linear, no cartesian."""
+    plan = plan_of(spark, "text_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
