@@ -263,3 +263,29 @@ def test_pack_sequences_external_token_counts(spark):
     assert {(p["pack_id"], tuple(p["doc_ids"])) for p in packs} != {
         (p["pack_id"], tuple(p["doc_ids"])) for p in packs2
     }
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """Per-stratum rates within binomial noise, unnamed strata get the
+    default (0.0 = dropped), reruns identical, and each stratum's sample
+    is exactly what hash_sample at that fraction would select."""
+    from watchman_spark.operators.sampling import stratified_sample
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(40_000)]
+    df = spark.createDataFrame(rows, ["k", "s"]).cache()
+    fracs = {"a": 0.5, "b": 0.1}
+    got = stratified_sample(df, "k", "s", fracs).collect()
+    by_s: dict[str, set] = {}
+    for r in got:
+        by_s.setdefault(r["s"], set()).add(r["k"])
+    assert set(by_s) == {"a", "b"}  # c, d dropped at default 0.0
+    for name, frac in fracs.items():
+        n = 10_000
+        p = round(frac * 65536) / 65536
+        sigma = (n * p * (1 - p)) ** 0.5
+        assert abs(len(by_s[name]) - n * p) < 4 * sigma, (name, len(by_s[name]))
+        want = {r["k"] for r in
+                hash_sample(df.filter(F.col("s") == name), "k", frac).collect()}
+        assert by_s[name] == want  # stratum ≡ plain hash_sample at its frac
+    again = stratified_sample(df, "k", "s", fracs).collect()
+    assert {(r["k"], r["s"]) for r in again} == {(r["k"], r["s"]) for r in got}

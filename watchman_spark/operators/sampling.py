@@ -69,6 +69,42 @@ def hash_sample(df: DataFrame, key_col: str, frac: float) -> DataFrame:
     return df.filter(_hex_prefix(F.col(key_col)) < frac_to_hex_threshold(frac))
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fracs: dict[str, float],
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the class-balancing move
+    (downsample the dominant language/source/label, keep the rare one):
+    each stratum gets its own hash threshold; strata not named sample at
+    ``default_frac``. Same properties as hash_sample — pure map filter,
+    rerun-stable, engine-portable — so a rebalanced corpus is reproducible
+    byte-for-byte across reruns and audit engines."""
+    thr = F.lit(frac_to_hex_threshold(default_frac))
+    expr = None
+    for name, f in fracs.items():
+        cond = F.col(strata_col) == name
+        lit = F.lit(frac_to_hex_threshold(f))
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+    thr_col = thr if expr is None else expr.otherwise(thr)
+    return df.filter(_hex_prefix(F.col(key_col)) < thr_col)
+
+
+def stratified_sql(
+    key_sql: str, strata_sql: str, fracs: dict[str, float], default_frac: float = 0.0
+) -> str:
+    """The ANSI-SQL predicate equivalent to stratified_sample — shared with
+    the DuckDB oracle so thresholds can never diverge."""
+    arms = " ".join(
+        f"WHEN {strata_sql} = '{name}' THEN '{frac_to_hex_threshold(f)}'"
+        for name, f in fracs.items()
+    )
+    case = f"CASE {arms} ELSE '{frac_to_hex_threshold(default_frac)}' END"
+    return f"substr(md5(CAST({key_sql} AS VARCHAR)), 1, {HEX_WIDTH}) < {case}"
+
+
 def with_split(
     df: DataFrame,
     key_col: str,

@@ -651,6 +651,76 @@ def split_assignment(spark, sf_dir):
     )
 
 
+_STRATA_FRACS = {"en": 0.2, "zh": 1.0, "de": 1.0, "es": 1.0, "fr": 1.0}
+
+
+@register(
+    "sample_stratified",
+    f"""SELECT doc_id, lang FROM documents
+        WHERE {sampling.stratified_sql('doc_id', 'lang', _STRATA_FRACS)}""",
+)
+def sample_stratified(spark, sf_dir):
+    """Class-balancing sampling: downsample the dominant language (en at
+    20%) while keeping every other stratum whole — per-stratum hash
+    thresholds, one map-side filter, reproducible in any engine (the
+    triple-green here IS the cross-engine proof, like sample_hash_det)."""
+    d = t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        d, key_col="doc_id", strata_col="lang", fracs=_STRATA_FRACS
+    ).select("doc_id", "lang")
+
+
+@register(
+    "text_vocab_topk",
+    """SELECT token, COUNT(*) AS doc_freq
+       FROM (SELECT DISTINCT doc_id, unnest(list_distinct(
+                      string_split(lower(text), ' '))) AS token
+             FROM documents)
+       GROUP BY token ORDER BY doc_freq DESC, token LIMIT 50""",
+)
+def text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary profile: top-50 tokens by DOCUMENT frequency
+    (explode distinct tokens per doc → groupBy → TakeOrdered). The shape
+    at 100 TB: partial-agg combine collapses each partition to its
+    vocabulary before the exchange, and top-k never sorts globally."""
+    d = t(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " ", -1))).alias("token"),
+    )
+    return (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.col("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "text_len_histogram",
+    """SELECT CAST(len(string_split(text, ' ')) // 50 AS BIGINT) AS bucket,
+              COUNT(*) AS n,
+              CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tok,
+              CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tok
+       FROM documents GROUP BY 1""",
+)
+def text_len_histogram(spark, sf_dir):
+    """Corpus length profile: token-count histogram in width-50 buckets
+    (the chart every data-curation run draws before choosing filter
+    bands). Pure map + one partial-agg exchange of n_buckets rows."""
+    d = t(spark, sf_dir, "documents")
+    tok = textstats.token_count_ws(F.col("text"))
+    return (
+        d.select(F.floor(tok / 50).cast("long").alias("bucket"), tok.alias("n_tok"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_tok").cast("long").alias("min_tok"),
+            F.max("n_tok").cast("long").alias("max_tok"),
+        )
+    )
+
+
 @register("pack_sequences", None)  # rows-only: BFD bin packing is not SQL
 def pack_sequences_q(spark, sf_dir):
     """Sequence packing of documents into 512-token windows (whitespace
