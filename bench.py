@@ -54,9 +54,13 @@ HEADLINE = [
     "udf_conv_digest",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_resolve",
+    "dedup_lsh_clusters",
     "text_tokens",
     "text_fingerprint",
+    "text_decontaminate",
     "ann_brute_force",
+    "ann_knn_join",
 ]
 
 
