@@ -229,6 +229,11 @@ def minhash_lsh_pairs(
             )
         ).alias("bd"),
     ).select("id", F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest"))
+    # (measured, round 4) persisting `banded` before the cap — so the
+    # hot-key count and the candidate join share one materialization — is a
+    # wash at bench scale (5 interleaved A/B cycles, median speedup 0.99):
+    # re-deriving the band explode from the persisted `sigs` is already
+    # cheap, and the extra persist adds its own memory/eviction traffic.
     banded = _drop_hot_keys(banded, ["band", "digest"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
