@@ -330,3 +330,26 @@ def test_minhash_portable_matches_default_recall(spark):
         assert (i, i + 1000) in default and (i, i + 1000) in portable
     # exact-duplicate pairs collide in EVERY band under any hash family
     assert default == portable
+
+
+def test_simhash_portable_locality(spark):
+    """Portable (md5-bit-vote) simhash keeps the simhash property: near-
+    identical texts land within small hamming distance, dissimilar texts
+    far apart; output deterministic."""
+    from watchman_spark.operators.dedup import simhash64_portable
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again tomorrow"),
+        (3, "completely unrelated vocabulary about quantum flux capacitors"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sims = {r["doc_id"]: r["s"] for r in
+            df.select("doc_id", simhash64_portable(F.col("text")).alias("s")).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sims[1], sims[2]) <= 2   # one-word change: ~no bit flips
+    assert ham(sims[1], sims[3]) >= 3   # disjoint vocab: clearly farther
+    assert ham(sims[1], sims[3]) > ham(sims[1], sims[2])
+    again = {r["doc_id"]: r["s"] for r in
+             df.select("doc_id", simhash64_portable(F.col("text")).alias("s")).collect()}
+    assert again == sims

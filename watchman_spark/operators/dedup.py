@@ -411,6 +411,53 @@ def simhash64(text: Column) -> Column:
     return out
 
 
+def simhash64_portable(text: Column, n_bits: int = 16) -> Column:
+    """Engine-reproducible simhash over ``n_bits`` bits: the bit-b vote of
+    a token is bit (b % 4) of hex nibble (b // 4) of md5(token) — every
+    engine computes the identical md5 hex string, so the signature is
+    bit-identical anywhere (the portable-hash pattern a third time:
+    plane_signs, portable minhash, now simhash). Default 16 bits keeps the
+    vote expression tree (n_bits filters over the token array) compact;
+    the xxhash64 simhash64 above remains the fast 63-bit production path."""
+    tokens = F.array_distinct(F.split(text, " ", -1))
+    hashes = F.transform(tokens, lambda w: F.md5(w.cast("binary")))
+    n = F.size(hashes)
+
+    def bit_set(h: Column, b: int) -> Column:
+        nibble = F.conv(F.substring(h, b // 4 + 1, 1), 16, 10).cast("int")
+        return nibble.bitwiseAND(F.lit(1 << (b % 4))) != 0
+
+    bits = [
+        F.when(
+            F.size(F.filter(hashes, lambda h: bit_set(h, b))) * 2 > n,
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        for b in range(n_bits)
+    ]
+    out = bits[0]
+    for piece in bits[1:]:
+        out = out.bitwiseOR(piece)
+    return out.cast("long")
+
+
+def simhash_portable_sql(text_sql: str, n_bits: int = 16) -> str:
+    """The DuckDB rendering of simhash64_portable — generated from the
+    same bit convention so the two can never drift."""
+    terms = []
+    for b in range(n_bits):
+        nibble = (
+            f"(strpos('0123456789abcdef', substr(md5(t.tok), {b // 4 + 1}, 1)) - 1)"
+        )
+        vote = f"SUM(CASE WHEN ({nibble} & {1 << (b % 4)}) != 0 THEN 1 ELSE 0 END)"
+        terms.append(f"(CASE WHEN {vote} * 2 > COUNT(*) THEN {1 << b} ELSE 0 END)")
+    votes = " + ".join(terms)
+    return (
+        f"SELECT doc_id, CAST({votes} AS BIGINT) AS sim "
+        f"FROM (SELECT doc_id, unnest(list_distinct(string_split({text_sql}, ' '))) AS tok "
+        f"      FROM documents) t GROUP BY doc_id"
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

@@ -205,6 +205,19 @@ def dedup_resolve(spark, sf_dir):
     )
 
 
+from .operators.dedup import simhash64_portable, simhash_portable_sql  # noqa: E402
+
+
+@register("dedup_simhash_portable", simhash_portable_sql("text"))
+def dedup_simhash_portable(spark, sf_dir):
+    """Portable simhash signatures (md5-bit votes): the oracle re-derives
+    every bit from the same convention, upgrading simhash semantics from
+    rows-only to triple-checkable (the xxhash64 63-bit simhash stays the
+    production path; this pins the algorithm cross-engine)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64_portable(F.col("text")).alias("sim"))
+
+
 _COS_SQL = """round(
     list_dot_product(a.v, b.v)
     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)"""
