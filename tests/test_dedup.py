@@ -353,3 +353,17 @@ def test_simhash_portable_locality(spark):
     again = {r["doc_id"]: r["s"] for r in
              df.select("doc_id", simhash64_portable(F.col("text")).alias("s")).collect()}
     assert again == sims
+
+
+def test_resolve_components_string_ids(spark):
+    """Component resolution is id-type-generic: string ids resolve with
+    lexicographic-min canonical labels."""
+    df = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("zz-1", "zz-2")],
+        ["id_a", "id_b"],
+    )
+    got = {r["id"]: (r["component_id"], r["keep"]) for r in resolve_components(df).collect()}
+    assert got == {
+        "doc-a": ("doc-a", True), "doc-b": ("doc-a", False), "doc-c": ("doc-a", False),
+        "zz-1": ("zz-1", True), "zz-2": ("zz-1", False),
+    }

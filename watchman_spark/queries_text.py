@@ -734,6 +734,41 @@ def text_len_histogram(spark, sf_dir):
     )
 
 
+# Watchman-class monitoring semantics: threshold alerting over the event
+# stream — hourly error rate per window, alert when the rate crosses the
+# line. Rates floor-truncate for cross-engine round stability.
+@register(
+    "alert_error_rate",
+    """SELECT date_trunc('hour', ts) AS hour,
+              COUNT(*) AS n,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_err,
+              CAST(floor(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                         * 10000.0 / COUNT(*)) AS DOUBLE) / 10000 AS err_rate,
+              CAST(floor(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                         * 10000.0 / COUNT(*)) AS DOUBLE) / 10000 >= 0.25
+                AS alert
+       FROM events GROUP BY 1""",
+)
+def alert_error_rate(spark, sf_dir):
+    """The monitoring-side operator a watchman-class processor feeds:
+    tumbling-hour error rates with a threshold flag — one partial-agg
+    exchange of n_hours rows; the streaming path runs the same expression
+    over T2 windows."""
+    ev = t(spark, sf_dir, "events")
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    rate = (F.floor(n_err * 10000 / F.count(F.lit(1))).cast("double") / 10000)
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            n_err.cast("long").alias("n_err"),
+            rate.alias("err_rate"),
+            (rate >= 0.25).alias("alert"),
+        )
+    )
+
+
 @register("pack_sequences", None)  # rows-only: BFD bin packing is not SQL
 def pack_sequences_q(spark, sf_dir):
     """Sequence packing of documents into 512-token windows (whitespace
