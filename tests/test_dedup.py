@@ -367,3 +367,38 @@ def test_resolve_components_string_ids(spark):
         "doc-a": ("doc-a", True), "doc-b": ("doc-a", False), "doc-c": ("doc-a", False),
         "zz-1": ("zz-1", True), "zz-2": ("zz-1", False),
     }
+
+
+def test_incremental_dedup_against_corpus(spark, tmp_path):
+    """The production ingestion loop: batch N dedups against the hash
+    ledger of batches 1..N-1 (never re-scanning their text), appends its
+    surviving hashes, and a replayed batch is a complete no-op."""
+    from watchman_spark.operators.dedup import content_hashes, dedup_against_corpus
+    from watchman_spark.sources.warehouse import ParquetWarehouse
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    batch1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")], ["doc_id", "text"]
+    )
+    empty = spark.createDataFrame([], "content_hash string")
+    kept1 = dedup_against_corpus(batch1, empty, "doc_id", "text")
+    ids1 = sorted(r["doc_id"] for r in kept1.collect())
+    assert ids1 == [1, 2]  # within-batch dup of 'alpha text' dropped, min id kept
+    wh.write_append(content_hashes(kept1, "doc_id", "text").select("content_hash"),
+                    "corpus_hashes")
+
+    batch2 = spark.createDataFrame(
+        [(10, "alpha text"),      # already in corpus -> dropped
+         (11, "gamma text"),      # new -> kept
+         (12, "gamma text")],     # within-batch dup -> dropped
+        ["doc_id", "text"],
+    )
+    seen = wh.read(spark, "corpus_hashes")
+    kept2 = dedup_against_corpus(batch2, seen, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [11]
+    wh.write_append(content_hashes(kept2, "doc_id", "text").select("content_hash"),
+                    "corpus_hashes")
+
+    # replay of batch2 against the updated ledger: complete no-op
+    seen2 = wh.read(spark, "corpus_hashes")
+    assert dedup_against_corpus(batch2, seen2, "doc_id", "text").count() == 0

@@ -277,6 +277,40 @@ def minhash_lsh_pairs(
     )
 
 
+def content_hashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, content_hash): sha256 of the text — the unit the incremental
+    dedup ledger stores (64 bytes/doc instead of the document)."""
+    return df.select(
+        F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("content_hash")
+    )
+
+
+def dedup_against_corpus(
+    batch: DataFrame,
+    seen_hashes: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """INCREMENTAL exact dedup — the production ingestion shape: drop batch
+    rows whose content already exists in the committed corpus, then drop
+    within-batch duplicates (keep lowest id). ``seen_hashes`` is the
+    corpus's (content_hash) set — maintained as a warehouse table that each
+    ingest appends its surviving hashes to, so the corpus itself is never
+    re-scanned (at 10^12 docs the hash table is ~3 orders smaller than the
+    text). One left_anti hash join + one within-batch window; both keyed on
+    the well-distributed sha256."""
+    from pyspark.sql import Window
+
+    hashed = batch.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    fresh = hashed.join(
+        seen_hashes.select("content_hash").distinct(), "content_hash", "left_anti"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("content_hash").orderBy(F.col(id_col))
+    )
+    return fresh.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+
+
 def contamination(
     train: DataFrame,
     test: DataFrame,
