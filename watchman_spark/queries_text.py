@@ -16,7 +16,9 @@ from .operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash64_portable,
     simhash_pairs,
+    simhash_portable_sql,
 )
 from .operators.similarity import (
     as_double,
@@ -203,9 +205,6 @@ def dedup_resolve(spark, sf_dir):
         F.col("component_id").cast("long").alias("component_id"),
         "keep",
     )
-
-
-from .operators.dedup import simhash64_portable, simhash_portable_sql  # noqa: E402
 
 
 @register("dedup_simhash_portable", simhash_portable_sql("text"))
