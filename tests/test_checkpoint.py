@@ -150,3 +150,35 @@ def test_empty_input_runs_and_is_idempotent(spark, tmp_path_factory):
     m2 = run_pipeline(spark, cfg, input_df=empty,
                       role_dim=role_dim(spark), tool_dim=tool_dim(spark))
     assert m2.buckets == []  # fully committed -> no-op
+
+
+def test_job_dedup_subcommand(spark, tmp_path, capsys):
+    """job.py dedup: the operational wrapper over pairs→components→keep —
+    planted copies produce one component, one drop, committed to the
+    warehouse."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from watchman_spark.job import main as job_main
+    from watchman_spark.sources.warehouse import ParquetWarehouse
+
+    corpus = str(tmp_path / "corpus.parquet")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i // 100}")
+         for i in range(6)] ,
+        ["doc_id", "text"],
+    )
+    # ids 0-5 share doc0 suffix -> all near-identical under k=3 shingles
+    docs.write.parquet(corpus)
+    rc = job_main([
+        "dedup", "--warehouse", str(tmp_path / "wh"), "--input", corpus,
+        "--method", "jaccard", "--shingle-k", "3", "--threshold", "0.8",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["method"] == "jaccard" and out["dropped"] == 5
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    comps = {r["id"]: (r["component_id"], r["keep"])
+             for r in wh.read(spark, "dedup_components").collect()}
+    assert comps == {i: (0, i == 0) for i in range(6)}

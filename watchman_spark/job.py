@@ -118,6 +118,59 @@ def cmd_audit(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_dedup(args) -> int:
+    """Corpus dedup as an operational job: pair generation (exact /
+    minhash-LSH / ngram-jaccard) → connected-component resolution →
+    canonical keep/drop set, committed to the warehouse as
+    ``dedup_components`` (id, component_id, keep). Exit prints group and
+    drop counts; singleton documents are implicitly kept (absent from the
+    table == no duplicate)."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        resolve_components,
+    )
+
+    spark = _session(args)
+    wh = ParquetWarehouse(args.warehouse)
+    df = spark.read.parquet(args.input)
+    if args.method == "exact":
+        groups = exact_dedup(df, key_cols=[args.text_col], id_col=args.id_col)
+        dup_groups = groups.filter(F.col("dup_n") > 1).count()
+        n_dropped = (
+            groups.agg(F.sum(F.col("dup_n") - 1).alias("d")).collect()[0]["d"] or 0
+        )
+        wh.write_append(groups, "dedup_exact_groups", lineage={"run_id": args.run_id})
+        print(json.dumps({"method": "exact", "dup_groups": dup_groups,
+                          "dropped": int(n_dropped)}))
+        return 0
+    if args.method == "minhash":
+        pairs = minhash_lsh_pairs(
+            df, id_col=args.id_col, text_col=args.text_col,
+            k=args.shingle_k, threshold=args.threshold,
+        )
+    else:  # jaccard
+        pairs = ngram_jaccard_pairs(
+            df, id_col=args.id_col, text_col=args.text_col,
+            k=args.shingle_k, threshold=args.threshold,
+        )
+    comps = resolve_components(pairs)
+    wh.write_append(comps, "dedup_components", lineage={"run_id": args.run_id})
+    stats = comps.agg(
+        F.count(F.lit(1)).alias("in_components"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("dropped"),
+        F.count_distinct("component_id").alias("components"),
+    ).collect()[0]
+    print(json.dumps({"method": args.method,
+                      "in_components": stats["in_components"],
+                      "components": stats["components"],
+                      "dropped": int(stats["dropped"] or 0)}))
+    return 0
+
+
 def cmd_sql(args) -> int:
     from .sql import sql as run_sql
 
@@ -161,6 +214,18 @@ def main(argv: list[str] | None = None) -> int:
     pa_ = sub.add_parser("audit", help="distributed invariant audits (exit 1 on violation)")
     _add_common(pa_)
     pa_.set_defaults(fn=cmd_audit)
+
+    pd_ = sub.add_parser("dedup", help="corpus dedup: pairs → components → keep set")
+    _add_common(pd_)
+    pd_.add_argument("--input", required=True, help="parquet path of the corpus")
+    pd_.add_argument("--id-col", default="doc_id")
+    pd_.add_argument("--text-col", default="text")
+    pd_.add_argument("--method", choices=["exact", "minhash", "jaccard"],
+                     default="minhash")
+    pd_.add_argument("--threshold", type=float, default=0.8)
+    pd_.add_argument("--shingle-k", type=int, default=8)
+    pd_.add_argument("--run-id", default="dedup-0")
+    pd_.set_defaults(fn=cmd_dedup)
 
     pq = sub.add_parser("sql", help="run Spark SQL over the warehouse tables")
     _add_common(pq)
