@@ -52,3 +52,59 @@ def test_phone_pattern_boundary_guards(spark):
     for k in ("plain", "spaced", "bare", "plus", "eol"):
         assert "<PHONE>" in got[k], (k, got[k])
         assert not any(ch.isdigit() for ch in got[k]), (k, got[k])
+
+
+def test_repetition_signals_closed_form(spark):
+    """dup/top bigram fractions on hand-computable docs, including the
+    degenerate all-same-word doc (both fractions 1.0) and a no-repeat doc
+    (both minimal), plus the <2-word null case."""
+    from watchman_spark.operators.textstats import dup_ngram_frac, top_ngram_frac
+
+    cases = [
+        # "a a a a a": 4 bigrams, all "a a" -> dup 3/4, top 4/4
+        ("loop", "a a a a a"),
+        # "w x y z": 3 distinct bigrams -> dup 0, top 1/3 = 0.3333
+        ("clean", "w x y z"),
+        # "a b a b a": bigrams [ab, ba, ab, ba] -> dup 2/4, top 2/4
+        ("pingpong", "a b a b a"),
+        ("single", "solo"),
+    ]
+    df = spark.createDataFrame(cases, ["k", "text"])
+    got = {
+        r["k"]: (r["dup"], r["top"])
+        for r in df.select(
+            "k",
+            dup_ngram_frac(F.col("text"), 2).alias("dup"),
+            top_ngram_frac(F.col("text"), 2).alias("top"),
+        ).collect()
+    }
+    assert got["loop"] == (0.75, 1.0)
+    assert got["clean"] == (0.0, 0.3333)
+    assert got["pingpong"] == (0.5, 0.5)
+    assert got["single"] == (None, None)
+
+
+def test_repetition_query_matches_pandas_recompute(spark):
+    """Cross-check the registered query against an independent per-doc
+    Python recompute on the real documents table."""
+    from collections import Counter
+
+    from watchman_spark.queries_text import text_repetition
+
+    out = text_repetition(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "documents table should yield repetition rows"
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+    for r in rows[:50]:
+        w = texts[r["doc_id"]].split(" ")
+        grams = [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+        n = len(grams)
+        c = Counter(grams)
+        assert r["n_bigrams"] == n
+        assert r["dup_bigram_frac"] == ((n - len(c)) * 10000 // n) / 10000.0
+        assert r["top_bigram_frac"] == (max(c.values()) * 10000 // n) / 10000.0

@@ -102,6 +102,58 @@ def quality_score(text: Column) -> Column:
     return F.floor(raw * 10000).cast("double") / 10000
 
 
+def word_ngrams(text: Column, k: int) -> Column:
+    """Word k-grams WITH duplicates (a multiset, unlike
+    dedup.word_shingles which is distinct-only) — repetition signals need
+    the occurrence counts. Empty array below k words."""
+    ws = F.split(text, " ", -1)
+    n = F.size(ws)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _frac_10k(num: Column, den: Column) -> Column:
+    """floor(num*10000/den)/10000 computed with INTEGER division so Spark
+    and any audit engine (DuckDB `//`) agree bit-for-bit: a div b is
+    rewritten (a - a mod b) / b — the numerator is then exactly divisible,
+    so the double division is exact. Avoids the floor-of-double edge where
+    IEEE rounding can bump a quotient sitting just under an integer."""
+    a = (num * 10000).cast("long")
+    return (a - F.pmod(a, den)) / den / F.lit(10000.0)
+
+
+def dup_ngram_frac(text: Column, k: int = 2) -> Column:
+    """Fraction of word-k-gram occurrences that repeat an earlier one
+    (Gopher-style `dup_ngram` repetition signal), truncated to 4 decimals.
+    Null below k words. Pure JVM: size/array_distinct, no Python."""
+    grams = word_ngrams(text, k)
+    n = F.size(grams)
+    return F.when(n > 0, _frac_10k(n - F.size(F.array_distinct(grams)), n))
+
+
+def top_ngram_frac(text: Column, k: int = 2) -> Column:
+    """Fraction of word-k-gram occurrences taken by the single most
+    frequent k-gram (Gopher `top_ngram` signal), truncated to 4 decimals.
+    Per-row cost is O(distinct * total) via filter-count over the gram
+    array — fine for typical documents; for very long docs the scale path
+    is posexplode + groupBy(doc, gram) + max, which trades one shuffle for
+    linear per-row work."""
+    grams = word_ngrams(text, k)
+    n = F.size(grams)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return F.when(n > 0, _frac_10k(top, n))
+
+
 def fingerprint(text: Column, k: int = 5) -> Column:
     """Deterministic document fingerprint: lexicographic min of sha256 over
     word-k-gram shingles (a 1-perm MinHash with a portable hash). Null for

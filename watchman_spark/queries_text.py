@@ -533,6 +533,45 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+@register(
+    "text_repetition",
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       bi AS (
+         SELECT doc_id,
+                unnest([array_to_string(w[i:i+1], ' ')
+                        for i in generate_series(1, len(w)-1)]) AS b
+         FROM docs WHERE len(w) >= 2),
+       cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+       agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                      CAST(COUNT(*) AS BIGINT) AS n_dist,
+                      CAST(MAX(c) AS BIGINT) AS top_c
+               FROM cnt GROUP BY 1)
+       SELECT doc_id, n_bigrams,
+              (((n_bigrams - n_dist) * 10000) // n_bigrams) / 10000.0
+                AS dup_bigram_frac,
+              ((top_c * 10000) // n_bigrams) / 10000.0 AS top_bigram_frac
+       FROM agg""",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition signals over word bigrams:
+    what fraction of bigram occurrences are repeats, and what fraction the
+    single most frequent bigram takes. A standard corpus-quality gate
+    (boilerplate / keyword-stuffed / looping generations score high).
+    Pure map-side JVM expressions; integer-division arithmetic keeps the
+    DuckDB oracle bit-identical (see textstats._frac_10k)."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return (
+        d.filter(F.size(F.split("text", " ", -1)) >= 2)
+        .select(
+            "doc_id",
+            F.size(textstats.word_ngrams(txt, 2)).cast("long").alias("n_bigrams"),
+            textstats.dup_ngram_frac(txt, 2).alias("dup_bigram_frac"),
+            textstats.top_ngram_frac(txt, 2).alias("top_bigram_frac"),
+        )
+    )
+
+
 # PII redaction: the documents corpus is synthetic (no real PII), so plant
 # deterministic PII-shaped strings from doc_id, redact, and oracle the
 # result — the patterns are RE2-and-Java-portable by construction, so the
