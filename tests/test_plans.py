@@ -172,3 +172,15 @@ def test_contamination_is_equi_join(spark):
     plan = plan_of(spark, "text_decontaminate")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stuck_sessions_single_exchange(spark):
+    """Window (partitionBy user_id) and the following groupBy(user_id)
+    must share ONE hash exchange — the aggregate reuses the window's
+    partitioning instead of reshuffling the event stream twice."""
+    import re
+
+    plan = plan_of(spark, "alert_stuck_sessions")
+    shuffles = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(shuffles) == 1, plan[:800]
+    assert "Window" in plan

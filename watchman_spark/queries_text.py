@@ -807,6 +807,49 @@ def alert_error_rate(spark, sf_dir):
     )
 
 
+@register(
+    "alert_stuck_sessions",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+         FROM events)
+       SELECT user_id,
+              COUNT(*) AS n_events,
+              CAST(SUM(CASE WHEN event_type = prev THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_repeat,
+              ((SUM(CASE WHEN event_type = prev THEN 1 ELSE 0 END) * 10000)
+                 // COUNT(*)) / 10000.0 AS repeat_frac,
+              ((SUM(CASE WHEN event_type = prev THEN 1 ELSE 0 END) * 10000)
+                 // COUNT(*)) / 10000.0 >= 0.5 AS stuck
+       FROM seq GROUP BY 1""",
+)
+def alert_stuck_sessions(spark, sf_dir):
+    """Stuck-session detector: per user, the fraction of events whose
+    event_type repeats the immediately preceding one (a looping client /
+    retry storm reads as a high consecutive-repeat ratio — the same signal
+    a transcript pipeline uses to catch looping generations). Window lag
+    and the group-by share the user_id key, so Catalyst plans ONE exchange
+    for both (plan-asserted); fractions use the integer-division trick for
+    a bit-identical oracle."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    n_rep = F.sum(F.when(F.col("event_type") == F.col("prev"), 1).otherwise(0))
+    agg = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        n_rep.cast("long").alias("n_repeat"),
+    )
+    frac = textstats._frac_10k(F.col("n_repeat"), F.col("n_events"))
+    return agg.select(
+        "user_id", "n_events", "n_repeat",
+        frac.alias("repeat_frac"), (frac >= 0.5).alias("stuck"),
+    )
+
+
 @register("pack_sequences", None)  # rows-only: BFD bin packing is not SQL
 def pack_sequences_q(spark, sf_dir):
     """Sequence packing of documents into 512-token windows (whitespace
