@@ -409,6 +409,50 @@ def agg_cube(spark, sf_dir):
 
 
 @register(
+    "agg_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    one aggregate pass expands each input row into its grouping-set
+    combinations map-side — same single partial+final exchange as a plain
+    group-by, NOT one job per set."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+           FROM lineitem_gs
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+    )
+
+
+@register(
+    "agg_pivot",
+    """SELECT l_returnflag,
+              CAST(SUM(CASE WHEN l_linestatus = 'F'
+                       THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_f,
+              CAST(SUM(CASE WHEN l_linestatus = 'O'
+                       THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_o
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot (long -> wide): quantity totals per returnflag split into one
+    column per linestatus. Pivot values are given EXPLICITLY — omitting
+    them costs an extra distinct-scan job to discover them and makes the
+    output schema data-dependent, both wrong at 100 TB. Compiles to the
+    same conditional-aggregation plan as the oracle SQL (one exchange)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("long")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+
+
+@register(
     "agg_collect_ordered",
     """SELECT user_id,
               string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
