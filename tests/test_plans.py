@@ -184,3 +184,29 @@ def test_stuck_sessions_single_exchange(spark):
     shuffles = re.findall(r"Exchange hashpartitioning", plan)
     assert len(shuffles) == 1, plan[:800]
     assert "Window" in plan
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    """GROUPING SETS must compile to ONE aggregate pass (map-side Expand
+    into the set combinations + a single partial/final exchange), never a
+    union of per-set jobs."""
+    import re
+
+    plan = plan_of(spark, "agg_grouping_sets")
+    assert "Expand" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:800]
+
+
+def test_pivot_two_phase_no_extra_job(spark):
+    """Pivot with explicit values: Spark's two-phase shape — a partial
+    aggregate over (group, pivot) keys feeding a pivotfirst aggregate.
+    The FULL-data pass crosses one exchange; the second exchange carries
+    only pre-aggregated group rows. No union fan-out, and no extra
+    distinct-discovery job (values were explicit)."""
+    import re
+
+    plan = plan_of(spark, "agg_pivot")
+    assert "pivotfirst" in plan
+    assert "partial_sum" in plan  # map-side combine before the data shuffle
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan[:800]
+    assert "Union" not in plan

@@ -440,8 +440,11 @@ def agg_pivot(spark, sf_dir):
     """Pivot (long -> wide): quantity totals per returnflag split into one
     column per linestatus. Pivot values are given EXPLICITLY — omitting
     them costs an extra distinct-scan job to discover them and makes the
-    output schema data-dependent, both wrong at 100 TB. Compiles to the
-    same conditional-aggregation plan as the oracle SQL (one exchange)."""
+    output schema data-dependent, both wrong at 100 TB. Spark compiles
+    this to a two-phase aggregate: partial_sum over (flag, status) behind
+    the first exchange, then pivotfirst over flag — the second exchange
+    carries only |groups| pre-aggregated rows, so the full-data pass is
+    single-shuffle (plan-asserted)."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
