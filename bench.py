@@ -372,7 +372,9 @@ def main() -> None:
     # prefilter modes already use: 3+ INTERLEAVED cycles over the whole
     # query set (so adjacent cycles of any one query span the drift), report
     # per-query MEDIANS, and record every cycle's wall in the JSON.
-    cycles = int(os.environ.get("WATCHMAN_BENCH_CYCLES", "3"))
+    # clamp, don't crash: cycles<=0 would leave every walls[] list empty and
+    # statistics.median would raise only AFTER the warmup burned minutes
+    cycles = max(1, int(os.environ.get("WATCHMAN_BENCH_CYCLES", "3")))
     walls: dict[str, list[float]] = {"transcripts_pipeline": []}
 
     # untimed warmup pass — a fresh JVM's first heavy job is JIT-dominated

@@ -402,3 +402,20 @@ def test_incremental_dedup_against_corpus(spark, tmp_path):
     # replay of batch2 against the updated ledger: complete no-op
     seen2 = wh.read(spark, "corpus_hashes")
     assert dedup_against_corpus(batch2, seen2, "doc_id", "text").count() == 0
+
+
+def test_dedup_against_corpus_hash_column_contract(spark):
+    """The survivors carry an appended content_hash column (the ledger
+    append reads it), and a batch that ALREADY has one is rejected loudly
+    instead of silently overwritten (ADVICE r4)."""
+    import pytest as _pytest
+
+    from watchman_spark.operators.dedup import dedup_against_corpus
+
+    empty = spark.createDataFrame([], "content_hash string")
+    batch = spark.createDataFrame([(1, "alpha")], ["doc_id", "text"])
+    out = dedup_against_corpus(batch, empty, "doc_id", "text")
+    assert sorted(out.columns) == ["content_hash", "doc_id", "text"]
+    clash = batch.withColumn("content_hash", F.lit("x"))
+    with _pytest.raises(ValueError, match="content_hash"):
+        dedup_against_corpus(clash, empty, "doc_id", "text")

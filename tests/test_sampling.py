@@ -289,3 +289,22 @@ def test_stratified_sample_rates_and_determinism(spark):
         assert by_s[name] == want  # stratum ≡ plain hash_sample at its frac
     again = stratified_sample(df, "k", "s", fracs).collect()
     assert {(r["k"], r["s"]) for r in again} == {(r["k"], r["s"]) for r in got}
+
+
+def test_stratified_sql_quoted_stratum_matches_spark(spark):
+    """A stratum name containing an apostrophe must render a VALID SQL
+    literal (ADVICE r4: unescaped quotes produced malformed oracle SQL)
+    that selects exactly the rows stratified_sample keeps."""
+    import duckdb
+    import pandas as pd
+
+    from watchman_spark.operators.sampling import stratified_sample, stratified_sql
+
+    rows = [(i, "o'brien" if i % 2 else "plain") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    fracs = {"o'brien": 0.5, "plain": 0.25}
+    want = sorted(r["k"] for r in stratified_sample(df, "k", "s", fracs).collect())
+    pdf = pd.DataFrame(rows, columns=["k", "s"])
+    pred = stratified_sql("k", "s", fracs)
+    got = duckdb.sql(f"SELECT k FROM pdf WHERE {pred} ORDER BY k").fetchall()
+    assert [g[0] for g in got] == want

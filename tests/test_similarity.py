@@ -257,3 +257,41 @@ def test_ivf_train_lean_equals_exploded_oracle(spark):
             assert abs(lv - ov) <= 1e-9, (c, p, lv, ov)
     # and lean is itself deterministic across runs
     assert ivf_train(emb, 16, iters=2) == lean
+
+
+def test_probe_masks_radii_and_validation():
+    """probes is a real multi-probe RADIUS (ADVICE r4: >=1 used to silently
+    degrade to radius 1): weight-r masks appear for every r <= radius, all
+    distinct, and out-of-range radii raise instead of quietly truncating."""
+    import pytest as _pytest
+
+    from watchman_spark.operators.similarity import _probe_masks
+
+    assert _probe_masks(4, 0) == []
+    m1 = _probe_masks(4, 1)
+    assert sorted(m1) == [1, 2, 4, 8]
+    m2 = _probe_masks(4, 2)
+    assert len(m2) == 4 + 6 and len(set(m2)) == 10
+    assert all(bin(m).count("1") <= 2 for m in m2)
+    with _pytest.raises(ValueError):
+        _probe_masks(4, 5)
+    with _pytest.raises(ValueError):
+        _probe_masks(4, -1)
+
+
+def test_multiprobe_radius2_recall_monotone(spark, emb):
+    """Candidate sets grow monotonically with the probe radius and scores
+    are exact cosines, so recall vs brute force is monotone in probes."""
+    k = 10
+    qd = emb.filter(F.col("vec_id") == 0).select(as_double(F.col("embedding")).alias("q"))
+    truth = {r["vec_id"] for r in brute_force_topk(emb, qd, k=k).collect()}
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    recalls = []
+    for probes in (0, 1, 2):
+        got = {
+            r["vec_id"]
+            for r in lsh_topk(emb, q, dim=DIM, k=k, n_planes=4, probes=probes).collect()
+        }
+        recalls.append(len(truth & got) / k)
+    assert recalls[0] <= recalls[1] <= recalls[2]
+    assert recalls[2] >= 0.9

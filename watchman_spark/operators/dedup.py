@@ -298,9 +298,20 @@ def dedup_against_corpus(
     ingest appends its surviving hashes to, so the corpus itself is never
     re-scanned (at 10^12 docs the hash table is ~3 orders smaller than the
     text). One left_anti hash join + one within-batch window; both keyed on
-    the well-distributed sha256."""
+    the well-distributed sha256.
+
+    Returns the surviving batch rows WITH an appended ``content_hash``
+    column (deliberate: the caller's ledger append is a select of that
+    column, no re-hash). Raises if the batch already carries a
+    content_hash column — silently overwriting it would corrupt the
+    caller's schema (ADVICE r4); drop or rename yours first."""
     from pyspark.sql import Window
 
+    if "content_hash" in batch.columns:
+        raise ValueError(
+            "batch already has a content_hash column; drop or rename it — "
+            "dedup_against_corpus appends its own sha256 content_hash"
+        )
     hashed = batch.withColumn("content_hash", F.sha2(F.col(text_col), 256))
     fresh = hashed.join(
         seen_hashes.select("content_hash").distinct(), "content_hash", "left_anti"

@@ -96,9 +96,12 @@ def stratified_sql(
     key_sql: str, strata_sql: str, fracs: dict[str, float], default_frac: float = 0.0
 ) -> str:
     """The ANSI-SQL predicate equivalent to stratified_sample — shared with
-    the DuckDB oracle so thresholds can never diverge."""
+    the DuckDB oracle so thresholds can never diverge. Stratum names are
+    escaped ('' doubling) so a value containing an apostrophe renders a
+    valid literal that still matches stratified_sample's raw comparison."""
     arms = " ".join(
-        f"WHEN {strata_sql} = '{name}' THEN '{frac_to_hex_threshold(f)}'"
+        f"WHEN {strata_sql} = '{name.replace(chr(39), chr(39) * 2)}' "
+        f"THEN '{frac_to_hex_threshold(f)}'"
         for name, f in fracs.items()
     )
     case = f"CASE {arms} ELSE '{frac_to_hex_threshold(default_frac)}' END"

@@ -121,6 +121,45 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 16) -> Column:
     return bucket
 
 
+def _probe_masks(n_planes: int, radius: int) -> list[int]:
+    """XOR masks of every bucket perturbation with Hamming weight 1..radius
+    (radius 0 → empty list; the exact bucket is always probed separately).
+    Probe-set size is sum_{r<=radius} C(n_planes, r) — e.g. 16 planes,
+    radius 2 → 137 buckets per query, still metadata-sized and broadcast.
+    Raises on radius outside [0, n_planes]: until round 5 any radius >= 1
+    silently degraded to radius-1 probing (ADVICE r4), so an out-of-range
+    ask must be loud, never quietly lossy."""
+    from itertools import combinations
+
+    if not 0 <= radius <= n_planes:
+        raise ValueError(f"probes radius {radius} outside [0, {n_planes}]")
+    masks: list[int] = []
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for p in bits:
+                m |= 1 << p
+            masks.append(m)
+    return masks
+
+
+def _probe_explode(q: DataFrame, keep_cols: list[str], masks: list[int]) -> DataFrame:
+    """Expand each query row to its probe buckets: the exact bucket plus
+    one row per XOR mask. Each corpus vector lives in exactly one bucket
+    and the probe set is distinct by construction (distinct masks XOR a
+    fixed bucket give distinct buckets), so the downstream equi-join can
+    never duplicate a (query, corpus) candidate."""
+    return q.select(
+        *keep_cols,
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks],
+            )
+        ).alias("bucket"),
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -134,32 +173,23 @@ def lsh_topk(
     """ANN: restrict scoring to vectors in the query's LSH bucket, then
     exact cosine rank inside the bucket.
 
-    ``probes`` is the multi-probe radius: probes=0 scores the exact bucket
-    only (recall < 1 by design); probes=1 additionally unions every bucket
-    at Hamming distance 1 from the query's (flip each of the n_planes sign
-    bits) — the standard cost/recall dial at scale. The probe set is tiny
-    (1 + n_planes rows), broadcast to the corpus-side join, so candidate
-    generation stays one map-side hash join regardless of corpus size."""
+    ``probes`` is the multi-probe RADIUS: probes=0 scores the exact bucket
+    only (recall < 1 by design); probes=r additionally unions every bucket
+    within Hamming distance r of the query's (all sign-bit flips of weight
+    <= r) — the standard cost/recall dial at scale. The probe set stays
+    tiny (sum_{i<=r} C(n_planes, i) rows — 9 at r=1, 37 at r=2 for 8
+    planes), broadcast to the corpus-side join, so candidate generation
+    stays one map-side hash join regardless of corpus size. Radii outside
+    [0, n_planes] raise (they used to silently probe radius 1)."""
     base = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).withColumn(
         "bucket", lsh_bucket(F.col("v"), dim, n_planes)
     )
     q = query_df.select(as_double(F.col("q")).alias("q")).withColumn(
         "bucket", lsh_bucket(F.col("q"), dim, n_planes)
     )
-    if probes >= 1:
-        # each base vector lives in exactly one bucket and the probe set is
-        # distinct, so the join cannot duplicate candidates
-        q = q.select(
-            "q",
-            F.explode(
-                F.array_distinct(
-                    F.array(
-                        F.col("bucket"),
-                        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-                    )
-                )
-            ).alias("bucket"),
-        )
+    masks = _probe_masks(n_planes, probes)
+    if masks:
+        q = _probe_explode(q, ["q"], masks)
     return (
         base.join(F.broadcast(q), "bucket")
         .select(F.col(id_col), F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))
@@ -186,12 +216,14 @@ def knn_join_lsh(
     per query.
 
     Shape at scale: both sides get their LSH bucket map-side (pure JVM
-    expressions), queries expand to their probe set (probes=1 → 1+n_planes
-    rows per query, the Hamming-1 multi-probe dial), then ONE equi-join on
-    bucket — a shuffle hash join keyed on the bucket id — and a per-query
-    row_number window bounded to k. Each corpus vector lives in exactly one
-    bucket and the probe set is distinct, so the join cannot duplicate a
-    (query, corpus) candidate — no dedup pass needed before the window.
+    expressions), queries expand to their probe set (``probes`` is the
+    multi-probe Hamming RADIUS: probes=1 → 1+n_planes rows per query,
+    probes=2 adds the C(n_planes,2) weight-2 flips, and so on — radii
+    outside [0, n_planes] raise), then ONE equi-join on bucket — a shuffle
+    hash join keyed on the bucket id — and a per-query row_number window
+    bounded to k. Each corpus vector lives in exactly one bucket and the
+    probe set is distinct, so the join cannot duplicate a (query, corpus)
+    candidate — no dedup pass needed before the window.
     Raise n_planes as the corpus grows (2^n_planes buckets is the shuffle
     key space; 16 planes → 65k keys keeps partitions balanced at 100 TB —
     at small n_planes the handful of hot buckets is the skew risk)."""
@@ -203,22 +235,9 @@ def knn_join_lsh(
     q = queries.select(
         F.col(query_id_col), as_double(F.col(query_vec_col)).alias("q")
     ).withColumn("bucket", lsh_bucket(F.col("q"), dim, n_planes))
-    if probes >= 1:
-        q = q.select(
-            query_id_col,
-            "q",
-            F.explode(
-                F.array_distinct(
-                    F.array(
-                        F.col("bucket"),
-                        *[
-                            F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                            for p in range(n_planes)
-                        ],
-                    )
-                )
-            ).alias("bucket"),
-        )
+    masks = _probe_masks(n_planes, probes)
+    if masks:
+        q = _probe_explode(q, [query_id_col, "q"], masks)
     cand = base.join(q, "bucket").select(
         F.col(query_id_col),
         F.col(id_col),
@@ -427,7 +446,12 @@ def _assign_udf(centroids: list[list[float]], nprobe: int = 1):
         M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         sims = M @ Cn.T  # (batch, n_centroids)
-        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        # kind='stable': ties between centroids must break to the LOWER
+        # index everywhere — the lean training pass uses np.argmax (first
+        # max) and the default introsort is not stable, so an exactly-tied
+        # vector could be trained into one bucket but indexed/probed into
+        # another (ADVICE r4); stable argsort on -sims shares argmax's rule
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype("int32").tolist() for row in top])
 
     return assign
