@@ -108,3 +108,39 @@ def test_repetition_query_matches_pandas_recompute(spark):
         assert r["n_bigrams"] == n
         assert r["dup_bigram_frac"] == ((n - len(c)) * 10000 // n) / 10000.0
         assert r["top_bigram_frac"] == (max(c.values()) * 10000 // n) / 10000.0
+
+
+def test_top_ngram_frac_table_paths_agree(spark):
+    """The shuffle path (explode + groupBy + max) and the expression path
+    must compute IDENTICAL top-ngram fractions: random docs spanning both
+    sides of a mid-range threshold, plus sub-k docs (null on both paths)."""
+    import random
+
+    from watchman_spark.operators.textstats import top_ngram_frac, top_ngram_frac_table
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "loop"]
+    rows = []
+    for i in range(60):
+        n = rng.choice([0, 1, 3, 8, 20, 40, 80])
+        words = [rng.choice(vocab) for _ in range(n)]
+        if n >= 10 and i % 3 == 0:
+            words = words[:4] * (n // 4)  # highly repetitive long doc
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    expr = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id", top_ngram_frac(F.col("text"), 2).alias("f")).collect()
+    }
+    for thr in (1, 10, 10_000):  # all-shuffle, mixed, all-expression
+        got = {
+            r["doc_id"]: r["f"]
+            for r in top_ngram_frac_table(
+                df, "doc_id", "text", k=2, out_col="f", shuffle_min_tokens=thr
+            ).collect()
+        }
+        assert got == expr, thr
+    # schema contract: appends out_col, preserves every input row
+    out = top_ngram_frac_table(df, "doc_id", "text", shuffle_min_tokens=10)
+    assert out.columns == ["doc_id", "text", "top_ngram_frac"]
+    assert out.count() == len(rows)

@@ -6,7 +6,7 @@ closed-form DuckDB oracle in queries_text.py."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import word_shingles
@@ -140,9 +140,9 @@ def top_ngram_frac(text: Column, k: int = 2) -> Column:
     """Fraction of word-k-gram occurrences taken by the single most
     frequent k-gram (Gopher `top_ngram` signal), truncated to 4 decimals.
     Per-row cost is O(distinct * total) via filter-count over the gram
-    array — fine for typical documents; for very long docs the scale path
-    is posexplode + groupBy(doc, gram) + max, which trades one shuffle for
-    linear per-row work."""
+    array — fine for typical documents; for very long docs use
+    ``top_ngram_frac_table`` below, which routes them through an
+    explode + groupBy(doc, gram) + max shuffle (linear per-row work)."""
     grams = word_ngrams(text, k)
     n = F.size(grams)
     top = F.array_max(
@@ -152,6 +152,59 @@ def top_ngram_frac(text: Column, k: int = 2) -> Column:
         )
     )
     return F.when(n > 0, _frac_10k(top, n))
+
+
+# Route a document to the shuffle path when it has at least this many
+# whitespace tokens. Sizing: the expression path is O(distinct * total)
+# comparisons per row — at 10k tokens that is at most 10^8 cheap string
+# equality checks inside one codegen'd task (~low seconds worst case,
+# typically far less because distinct << total in repetitive long docs),
+# while below it the shuffle path's explode would move up to 10k rows per
+# document through an exchange for no benefit. Above the threshold the
+# per-row cost would grow quadratically (a 10^6-token doc → 10^12
+# comparisons in ONE task — the round-4 'What's wrong #1' ceiling), so
+# those rows trade one shuffle for linear work instead.
+TOP_NGRAM_SHUFFLE_MIN_TOKENS = 10_000
+
+
+def top_ngram_frac_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    out_col: str = "top_ngram_frac",
+    shuffle_min_tokens: int = TOP_NGRAM_SHUFFLE_MIN_TOKENS,
+) -> DataFrame:
+    """``top_ngram_frac`` with the long-document scale path: rows with
+    fewer than ``shuffle_min_tokens`` whitespace tokens evaluate the pure
+    expression (map-side, no shuffle); rows at/above it are exploded to
+    (id, gram), counted per (id, gram), and reduced to max/sum per id —
+    linear per-row work at the cost of one exchange that carries ONLY the
+    long documents' grams. Results are identical on both paths (equality
+    on random docs asserted in tests/test_textstats.py); docs below k
+    words get null either way. Appends ``out_col`` to the input schema."""
+    nw = F.size(F.split(F.col(text_col), " ", -1))
+    is_long = nw >= F.lit(shuffle_min_tokens)
+    short = df.filter(~is_long).withColumn(out_col, top_ngram_frac(F.col(text_col), k))
+    long_rows = df.filter(is_long)
+    stats = (
+        long_rows.select(
+            F.col(id_col), F.explode(word_ngrams(F.col(text_col), k)).alias("gram")
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top"), F.sum("__c").alias("__n"))
+    )
+    long_out = (
+        long_rows.join(stats, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("__n") > 0, _frac_10k(F.col("__top"), F.col("__n"))),
+        )
+        .drop("__top", "__n")
+    )
+    return short.unionByName(long_out.select(*short.columns))
 
 
 def fingerprint(text: Column, k: int = 5) -> Column:

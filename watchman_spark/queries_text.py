@@ -572,6 +572,46 @@ def text_repetition(spark, sf_dir):
     )
 
 
+@register(
+    "text_repetition_shuffle",
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       bi AS (
+         SELECT doc_id,
+                unnest([array_to_string(w[i:i+1], ' ')
+                        for i in generate_series(1, len(w)-1)]) AS b
+         FROM docs WHERE len(w) >= 2),
+       cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+       agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                      CAST(MAX(c) AS BIGINT) AS top_c
+               FROM cnt GROUP BY 1)
+       SELECT doc_id, n_bigrams,
+              ((top_c * 10000) // n_bigrams) / 10000.0 AS top_bigram_frac
+       FROM agg""",
+)
+def text_repetition_shuffle(spark, sf_dir):
+    """The long-document SCALE path of the top-ngram repetition signal
+    (round-4 'What's wrong #1'): shuffle_min_tokens=1 forces EVERY doc
+    through the explode + groupBy(doc, gram) + max route, so the driver
+    oracle pins the shuffle path's values against the same SQL the
+    expression path (text_repetition) is checked with — the two paths can
+    never drift. Production uses the default threshold
+    (textstats.TOP_NGRAM_SHUFFLE_MIN_TOKENS), routing only pathological
+    docs through the exchange."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ", -1)) >= 2)
+        .select("doc_id", "text")
+    )
+    out = textstats.top_ngram_frac_table(
+        d, "doc_id", "text", k=2, out_col="top_bigram_frac", shuffle_min_tokens=1
+    )
+    return out.select(
+        "doc_id",
+        F.size(textstats.word_ngrams(F.col("text"), 2)).cast("long").alias("n_bigrams"),
+        "top_bigram_frac",
+    )
+
+
 # PII redaction: the documents corpus is synthetic (no real PII), so plant
 # deterministic PII-shaped strings from doc_id, redact, and oracle the
 # result — the patterns are RE2-and-Java-portable by construction, so the
