@@ -39,11 +39,14 @@ def _has_iceberg_jar() -> bool:
 
 
 class ParquetAdapter:
-    """ParquetWarehouse narrowed to the contract surface."""
+    """ParquetWarehouse narrowed to the contract surface.
+    ``manifest_every`` is threaded through so the suite runs under BOTH
+    commit-log layouts: loose files only, and manifest-compacted (every=1
+    forces a manifest after every append, the most adversarial layout)."""
 
-    def __init__(self, spark, root: str):
+    def __init__(self, spark, root: str, manifest_every: int | None = 64):
         self.spark = spark
-        self.wh = ParquetWarehouse(root)
+        self.wh = ParquetWarehouse(root, manifest_every=manifest_every)
 
     def append(self, df, table: str, lineage: dict | None = None) -> None:
         self.wh.write_append(df, table, lineage=lineage)
@@ -118,6 +121,7 @@ class IcebergAdapter:
 
 BACKENDS = [
     "parquet",
+    "parquet-compacted",
     pytest.param(
         "iceberg",
         marks=pytest.mark.skipif(
@@ -134,6 +138,10 @@ BACKENDS = [
 def be(request, spark, tmp_path_factory):
     if request.param == "parquet":
         return ParquetAdapter(spark, str(tmp_path_factory.mktemp("contract_wh")))
+    if request.param == "parquet-compacted":
+        return ParquetAdapter(
+            spark, str(tmp_path_factory.mktemp("contract_whc")), manifest_every=1
+        )
     return IcebergAdapter(spark)
 
 
@@ -189,3 +197,43 @@ def test_lineage_roundtrip(spark, be):
     got = be.lineage_of("t_lineage", snap)
     assert got["run_id"] == "contract-run"
     assert list(got["buckets"]) == [1, 2, 3]
+
+
+def test_manifest_compaction_equivalence_and_rollback(spark, tmp_path):
+    """Manifest compaction is a pure read optimization: a compacted log
+    resolves the SAME commit list as a loose one, snapshot/incremental
+    reads agree, and rolling back a commit that was already compacted into
+    the newest manifest still removes it from view."""
+    import os as _os
+
+    roots = {
+        "loose": str(tmp_path / "loose"),
+        "compact": str(tmp_path / "compact"),
+    }
+    whs = {
+        "loose": ParquetWarehouse(roots["loose"], manifest_every=None),
+        "compact": ParquetWarehouse(roots["compact"], manifest_every=3),
+    }
+    for i in range(8):
+        for wh in whs.values():
+            wh.write_append(_batch(spark, i * 10, i * 10 + 3), "t")
+    # manifests actually exist in the compacted layout
+    cdir = whs["compact"]._commits_dir("t")
+    manifests = [n for n in _os.listdir(cdir) if n.startswith("manifest-")]
+    assert manifests, "expected manifest files at manifest_every=3"
+    # identical resolution
+    strip = lambda cs: [(c["id"], c["rows"]) for c in cs]  # data_dir tokens are random uuids
+    assert strip(whs["compact"].commits("t")) == strip(whs["loose"].commits("t"))
+    for kw in ({"snapshot": 5}, {"from_snapshot": 4}, {"snapshot": 7, "from_snapshot": 2}):
+        a = _keys(whs["compact"].read(spark, "t", **kw))
+        b = _keys(whs["loose"].read(spark, "t", **kw))
+        assert a == b, kw
+    # rollback of a commit INSIDE the newest manifest (id 2 <= manifest 6)
+    for wh in whs.values():
+        wh.rollback_commit("t", 2)
+    assert strip(whs["compact"].commits("t")) == strip(whs["loose"].commits("t"))
+    assert [c["id"] for c in whs["compact"].commits("t")] == [1, 3, 4, 5, 6, 7, 8]
+    assert _keys(whs["compact"].read(spark, "t")) == _keys(whs["loose"].read(spark, "t"))
+    # appends continue cleanly after a rollback under compaction
+    whs["compact"].write_append(_batch(spark, 100, 102), "t")
+    assert whs["compact"].snapshot("t") == 9
