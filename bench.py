@@ -386,6 +386,13 @@ def main() -> None:
 
     t_rows = 0
     for _ in range(cycles):
+        # measurement hygiene (round-4 judge item): the dedup/similarity
+        # queries persist shingle/signature/edge intermediates on their
+        # DataFrame handles (_reused). Running 19 queries x N cycles in ONE
+        # session lets those persists accumulate and evict each other, so
+        # later cycles measure cache churn, not plans — drop them all
+        # between cycles (each cycle builds fresh handles anyway).
+        spark.catalog.clearCache()
         t_rows, secs = run_transcript_pipeline(spark, tpath)
         walls["transcripts_pipeline"].append(round(secs, 3))
         for name in HEADLINE:
