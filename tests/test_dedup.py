@@ -419,3 +419,60 @@ def test_dedup_against_corpus_hash_column_contract(spark):
     clash = batch.withColumn("content_hash", F.lit("x"))
     with _pytest.raises(ValueError, match="content_hash"):
         dedup_against_corpus(clash, empty, "doc_id", "text")
+
+
+def test_incremental_neardup_ingest(spark, tmp_path):
+    """The near-dup ingestion loop (round-4 'What's missing #2'): batch 2
+    dedups against the signature LEDGER of batch 1 — never re-scanning
+    batch-1 text — catching near (not just exact) duplicates; transitivity
+    holds across the ledger boundary; replaying a batch is a complete
+    no-op; and the ledger grows append-only by exactly the survivors."""
+    from watchman_spark.operators.dedup import dedup_ingest_neardup
+    from watchman_spark.sources.warehouse import ParquetWarehouse
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("lazy", "sleepy")          # near-dup of base
+    other = "completely different content about distributed query engines here"
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    kw = dict(k=3, n_hashes=32, bands=8, threshold=0.5)
+
+    batch1 = spark.createDataFrame(
+        [(1, base), (2, other), (3, near)], ["doc_id", "text"]
+    )
+    empty = spark.createDataFrame([], "id long, sig array<bigint>")
+    kept1, sigs1 = dedup_ingest_neardup(batch1, empty, "doc_id", "text", **kw)
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2]  # 3≈1 dropped
+    wh.write_append(sigs1, "neardup_ledger")
+    assert wh.table_rows("neardup_ledger") == 2
+
+    batch2 = spark.createDataFrame(
+        [(10, base),                              # exact dup of corpus 1
+         (11, near),                              # near-dup of corpus 1
+         (12, "fresh novel text with words never seen in any earlier batch"),
+         (13, "fresh novel text with words never seen in any earlier batches")],
+        ["doc_id", "text"],                        # 13 ≈ 12 within-batch
+    )
+    ledger = wh.read(spark, "neardup_ledger")
+    kept2, sigs2 = dedup_ingest_neardup(batch2, ledger, "doc_id", "text", **kw)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [12]
+    assert kept2.columns == batch2.columns  # original schema, no extras
+    wh.write_append(sigs2, "neardup_ledger")
+
+    # replay: every batch-2 doc now matches the ledger (10/11 via corpus
+    # doc 1's signature, 12 via its own, 13 via 12's) -> complete no-op
+    ledger2 = wh.read(spark, "neardup_ledger")
+    replay, replay_sigs = dedup_ingest_neardup(batch2, ledger2, "doc_id", "text", **kw)
+    assert replay.count() == 0 and replay_sigs.count() == 0
+
+
+def test_incremental_neardup_short_docs_pass_through(spark):
+    """Docs below k words have no shingles/signature: they survive and add
+    no ledger rows (documented contract — exact dedup of those is
+    dedup_against_corpus's job)."""
+    from watchman_spark.operators.dedup import dedup_ingest_neardup
+
+    empty = spark.createDataFrame([], "id long, sig array<bigint>")
+    batch = spark.createDataFrame([(1, "hi"), (2, "hi")], ["doc_id", "text"])
+    kept, sigs = dedup_ingest_neardup(batch, empty, "doc_id", "text", k=5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
+    assert sigs.count() == 0

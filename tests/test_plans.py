@@ -210,3 +210,30 @@ def test_pivot_two_phase_no_extra_job(spark):
     assert "partial_sum" in plan  # map-side combine before the data shuffle
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan[:800]
     assert "Union" not in plan
+
+
+def test_ingest_neardup_candidate_join_linear(spark):
+    """Incremental near-dup ingest: the batch->ledger candidate step must
+    be a (band, digest) EQUI-join — each batch band row meets at most
+    max_bucket ledger rows, so per-batch work is linear in batch size —
+    never a cartesian/nested-loop over the ledger, and the verify joins
+    stay equi-joins on ids."""
+    from watchman_spark.operators.dedup import _ingest_matches, minhash_signatures
+
+    batch = spark.createDataFrame(
+        [(i, f"word{i} alpha beta gamma delta epsilon zeta") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    ledger = spark.createDataFrame(
+        [(100 + i, [i * 7 + j for j in range(32)]) for i in range(4)],
+        "id long, sig array<bigint>",
+    )
+    sigs = minhash_signatures(batch, "doc_id", "text", k=3, n_hashes=32)
+    corpus_matches, batch_pairs = _ingest_matches(
+        sigs, ledger, n_hashes=32, bands=8, threshold=0.5, max_bucket=500,
+        portable=False,
+    )
+    for df in (corpus_matches, batch_pairs):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -173,6 +173,37 @@ def minhash_signatures(
     return agg.select("id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
 
+def band_digest_table(
+    sigs: DataFrame, n_hashes: int, bands: int, portable: bool = False
+) -> DataFrame:
+    """(id, band, digest) from a (id, sig) signature table — the banded-LSH
+    bucketing step as a pure map-side derivation (one explode, no shuffle),
+    shared by minhash_lsh_pairs and the incremental ingest ledger. Digest
+    is xxhash64 of the band's row slice (long), or md5 of the '|'-joined
+    slice (string) when ``portable`` — the engine-reproducible form."""
+    rows = n_hashes // bands
+
+    def band_digest(b: int):
+        cols = [F.col("sig")[i] for i in range(b * rows, (b + 1) * rows)]
+        if portable:
+            # md5 of the '|'-joined row slice: DuckDB's
+            # md5(string_agg(h, '|' ORDER BY i)) computes the identical hex
+            return F.md5(F.concat_ws("|", *cols).cast("binary"))
+        return F.xxhash64(*cols)
+
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_digest(b).alias("digest"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("id", F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -205,30 +236,8 @@ def minhash_lsh_pairs(
     jaccard verify below is unaffected (full shingle sets). The capped path
     is the DEFAULT; pass ``max_bucket=None`` to opt out of the bound.
     """
-    rows = n_hashes // bands
     sigs = _reused(minhash_signatures(df, id_col, text_col, k, n_hashes, portable))
-
-    def band_digest(b: int):
-        cols = [F.col("sig")[i] for i in range(b * rows, (b + 1) * rows)]
-        if portable:
-            # md5 of the '|'-joined row slice: DuckDB's
-            # md5(string_agg(h, '|' ORDER BY i)) computes the identical hex
-            return F.md5(F.concat_ws("|", *cols).cast("binary"))
-        return F.xxhash64(*cols)
-
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), band_digest(b).alias("digest")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bd"),
-    ).select("id", F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest"))
+    banded = band_digest_table(sigs, n_hashes, bands, portable)
     # (measured, round 4) persisting `banded` before the cap — so the
     # hot-key count and the candidate join share one materialization — is a
     # wash at bench scale (5 interleaved A/B cycles, median speedup 0.99):
@@ -320,6 +329,174 @@ def dedup_against_corpus(
         Window.partitionBy("content_hash").orderBy(F.col(id_col))
     )
     return fresh.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def _ingest_matches(
+    sigs: DataFrame,
+    ledger_sigs: DataFrame,
+    n_hashes: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int | None,
+    portable: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate generation + signature verify for dedup_ingest_neardup,
+    factored out so tests/test_plans.py can assert the join shape (ONE
+    (band, digest) equi-join against the ledger — linear in batch size —
+    and never a cartesian). Returns (corpus_matches(id, corpus_id,
+    est_jaccard), batch_pairs(id_a, id_b, est_jaccard)), both filtered to
+    est-jaccard >= threshold."""
+    batch_banded = band_digest_table(sigs, n_hashes, bands, portable)
+    ledger_banded = _drop_hot_keys(
+        band_digest_table(ledger_sigs, n_hashes, bands, portable),
+        ["band", "digest"],
+        max_bucket,
+    )
+    # batch -> corpus candidates: one equi-join on the band digest
+    corpus_cand = (
+        batch_banded.join(
+            ledger_banded.select(F.col("id").alias("corpus_id"), "band", "digest"),
+            ["band", "digest"],
+        )
+        .select("id", "corpus_id")
+        .distinct()
+    )
+    corpus_matches = (
+        corpus_cand.join(sigs.select("id", F.col("sig").alias("sig_a")), "id")
+        .join(
+            ledger_sigs.select(
+                F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b")
+            ),
+            "corpus_id",
+        )
+        .withColumn(
+            "est_jaccard", sig_est_jaccard(F.col("sig_a"), F.col("sig_b"), n_hashes)
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id", "corpus_id", "est_jaccard")
+    )
+    # within-batch candidates: the usual banded self-join
+    bb = _drop_hot_keys(batch_banded, ["band", "digest"], max_bucket)
+    a, b = bb.alias("a"), bb.alias("b")
+    batch_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn(
+            "est_jaccard", sig_est_jaccard(F.col("sig_a"), F.col("sig_b"), n_hashes)
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return corpus_matches, batch_pairs
+
+
+def sig_est_jaccard(a: Column, b: Column, n_hashes: int) -> Column:
+    """MinHash-estimated jaccard: the fraction of equal signature
+    components, floor-truncated to 4 dp with integer division (eq/32 lands
+    on EXACT binary halves like 0.03125, where round-half conventions
+    differ across engines — the same trick as textstats._frac_10k, inlined
+    here because textstats imports from this module). Standard error is
+    ~sqrt(J(1-J)/n_hashes) (~0.09 at n=32, J=0.5) — size n_hashes to the
+    fidelity the dedup threshold needs. This is what lets the incremental
+    ingest verify candidates WITHOUT the corpus text: the ledger's
+    signatures are the verify evidence."""
+    eq = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    num = (eq * 10000).cast("long")
+    return (num - F.pmod(num, F.lit(n_hashes))) / F.lit(n_hashes) / F.lit(10000.0)
+
+
+def dedup_ingest_neardup(
+    batch: DataFrame,
+    ledger_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    portable: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """INCREMENTAL NEAR-DUP dedup — the composition a production ingest
+    loop runs per batch (round-4 'What's missing #2'): the committed
+    corpus is represented ONLY by its MinHash signature ledger
+    (``ledger_sigs``: (id, sig), ~n_hashes longs per document — the text
+    is never re-scanned), and each new batch is LSH-joined against that
+    ledger plus itself.
+
+    Per batch: (1) signatures for the batch (one explode + groupBy);
+    (2) band digests map-side on both sides (band_digest_table);
+    (3) candidates = ONE equi-join batch⋈ledger on (band, digest) — linear
+    in batch size: each batch band row meets at most ``max_bucket`` ledger
+    rows (hot ledger buckets are capped, same rationale as
+    minhash_lsh_pairs; plan-asserted no-cartesian in tests/test_plans.py)
+    — plus the within-batch band self-join; (4) candidate verify by
+    SIGNATURE-estimated jaccard (sig_est_jaccard — the ledger carries no
+    shingles, so the estimate IS the verify; within-batch pairs use the
+    same estimator for one consistent threshold semantics); (5) component
+    resolution over within-batch edges ∪ batch→corpus match edges: a batch
+    doc lands in a component containing any corpus doc → dropped; a
+    corpus-free component keeps its minimum id (resolve_components).
+
+    Returns ``(survivors, survivor_sigs)``: the surviving batch rows
+    (original schema) and their (id, sig) rows — the caller appends the
+    latter to the ledger table so the next batch dedups against them
+    (append-only; replaying the same batch is then a complete no-op:
+    every doc exact-matches its own ledger signature in every band).
+
+    Scale notes: the ledger is ~2-3 orders smaller than the corpus text;
+    on a real deployment store it bucketed by (band, digest) (Iceberg
+    bucket partition / Spark bucketBy) so step (3)'s probe join prunes to
+    the batch's buckets instead of shuffling the full ledger per ingest.
+    Docs with fewer than k words have no shingles, hence no signature:
+    they always survive and add no ledger rows (exact dedup of those is
+    dedup_against_corpus's job)."""
+    sigs = _reused(minhash_signatures(batch, id_col, text_col, k, n_hashes, portable))
+    corpus_matches, batch_pairs = _ingest_matches(
+        sigs, ledger_sigs, n_hashes, bands, threshold, max_bucket, portable
+    )
+    # (5) resolve: corpus matches are edges into corpus nodes, so
+    # transitivity holds across the ledger boundary (a≈b within batch and
+    # b≈corpus drops BOTH — the same all-but-canonical semantics a
+    # whole-corpus resolve would give, with the corpus doc as canonical)
+    edges = batch_pairs.select("id_a", "id_b").unionByName(
+        corpus_matches.select(
+            F.col("id").alias("id_a"), F.col("corpus_id").alias("id_b")
+        )
+    )
+    labels = resolve_components(edges)
+    corpus_comps = (
+        labels.join(
+            corpus_matches.select(F.col("corpus_id").alias("id")).distinct(), "id"
+        )
+        .select("component_id")
+        .distinct()
+    )
+    drops = (
+        labels.join(corpus_comps, "component_id", "left_semi")
+        .select("id")
+        .unionByName(labels.filter(~F.col("keep")).select("id"))
+        .distinct()
+    )
+    survivors = batch.join(
+        drops.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    survivor_sigs = sigs.join(
+        survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
+    )
+    return survivors, survivor_sigs
 
 
 def contamination(

@@ -156,6 +156,78 @@ def dedup_minhash_lsh_portable(spark, sf_dir):
     )
 
 
+# The incremental-ingest MATCH step (round-5): batch band digests LSH-join
+# a corpus signature LEDGER and candidates are verified by the
+# signature-ESTIMATED jaccard (the ledger has no shingles) — here on md5
+# primitives so DuckDB re-derives both sides' signatures, the band join,
+# and the estimate bit-identically. The planted +100000 copies play the
+# "new batch"; the raw documents table plays the committed corpus.
+@register(
+    "dedup_ingest_match_portable",
+    f"""WITH cd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        cset AS (SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(w[i:i+{_SHINGLE_K - 1}], ' ')
+                        for i in generate_series(1, len(w)-{_SHINGLE_K - 1})])) AS shingle
+          FROM cd WHERE len(w) >= {_SHINGLE_K})),
+        bd AS (SELECT doc_id + 100000 AS doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE doc_id % 7 = 0),
+        bset AS (SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(w[i:i+{_SHINGLE_K - 1}], ' ')
+                        for i in generate_series(1, len(w)-{_SHINGLE_K - 1})])) AS shingle
+          FROM bd WHERE len(w) >= {_SHINGLE_K})),
+        csig AS (SELECT doc_id, t.i AS i,
+                        MIN(md5(CAST(t.i AS VARCHAR) || '|' || shingle)) AS h
+                 FROM cset CROSS JOIN generate_series(0, 31) t(i)
+                 GROUP BY doc_id, t.i),
+        bsig AS (SELECT doc_id, t.i AS i,
+                        MIN(md5(CAST(t.i AS VARCHAR) || '|' || shingle)) AS h
+                 FROM bset CROSS JOIN generate_series(0, 31) t(i)
+                 GROUP BY doc_id, t.i),
+        cband AS (SELECT doc_id, i // 8 AS band,
+                         md5(string_agg(h, '|' ORDER BY i)) AS digest
+                  FROM csig GROUP BY doc_id, i // 8),
+        bband AS (SELECT doc_id, i // 8 AS band,
+                         md5(string_agg(h, '|' ORDER BY i)) AS digest
+                  FROM bsig GROUP BY doc_id, i // 8),
+        cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+                 FROM bband b JOIN cband c
+                   ON b.band = c.band AND b.digest = c.digest),
+        est AS (SELECT cand.batch_id, cand.corpus_id,
+                       CAST(SUM(CASE WHEN bs.h = cs.h THEN 1 ELSE 0 END)
+                            AS BIGINT) AS eq
+                FROM cand
+                JOIN bsig bs ON bs.doc_id = cand.batch_id
+                JOIN csig cs ON cs.doc_id = cand.corpus_id AND cs.i = bs.i
+                GROUP BY 1, 2)
+        SELECT batch_id, corpus_id,
+               ((eq * 10000) // 32) / 10000.0 AS est_jaccard
+        FROM est WHERE ((eq * 10000) // 32) / 10000.0 >= 0.8""",
+)
+def dedup_ingest_match_portable(spark, sf_dir):
+    from .operators.dedup import _ingest_matches, minhash_signatures
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    ledger = minhash_signatures(
+        d, "doc_id", "text", k=_SHINGLE_K, n_hashes=32, portable=True
+    )
+    sigs = minhash_signatures(
+        batch, "doc_id", "text", k=_SHINGLE_K, n_hashes=32, portable=True
+    )
+    # max_bucket=None: the oracle has no cap — exact candidate semantics
+    matches, _pairs = _ingest_matches(
+        sigs, ledger, n_hashes=32, bands=4, threshold=0.8,
+        max_bucket=None, portable=True,
+    )
+    return matches.select(
+        F.col("id").alias("batch_id"), "corpus_id", "est_jaccard"
+    )
+
+
 @register("dedup_simhash", None)  # rows-only: xxhash64 bit votes
 def dedup_simhash(spark, sf_dir):
     return simhash_pairs(
