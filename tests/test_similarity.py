@@ -295,3 +295,76 @@ def test_multiprobe_radius2_recall_monotone(spark, emb):
         recalls.append(len(truth & got) / k)
     assert recalls[0] <= recalls[1] <= recalls[2]
     assert recalls[2] >= 0.9
+
+
+def test_ivf_index_build_once_search_many(spark, tmp_path):
+    """Index persistence (round-4 'What's missing #3'): build in one
+    session, load in a DIFFERENT session, and the loaded index's top-k is
+    identical to (a) a second load and (b) the unpersisted path with the
+    same centroids — no retraining, no re-assignment."""
+    from watchman_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_load,
+        ivf_topk,
+    )
+    from watchman_spark.sources.warehouse import ParquetWarehouse
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "wh")
+    info = ivf_index_build(
+        spark, ParquetWarehouse(root), emb, name="ann", n_centroids=8, train_iters=1
+    )
+    assert info["n_centroids"] == 8
+    assert info["assigned_rows"] == emb.count()
+
+    qdf = emb.limit(1).select(F.col("embedding").alias("q"))
+
+    def search(sess):
+        cents, assigned = ivf_index_load(sess, ParquetWarehouse(root), "ann")
+        out = ivf_topk(
+            emb, qdf, k=10, nprobe=2, centroids=cents, assigned=assigned
+        ).collect()
+        return cents, [(r["vec_id"], r["cos_sim"]) for r in out]
+
+    cents1, top1 = search(spark)
+    sess2 = spark.newSession()  # fresh session: nothing cached in memory
+    cents2, top2 = search(sess2)
+    assert cents1 == cents2 and top1 == top2
+    # loaded index ≡ in-memory path with the same centroids
+    live = ivf_topk(emb, qdf, k=10, nprobe=2, centroids=cents1).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in live] == top1
+    # REBUILD appends a new version; load returns only the newest build
+    ivf_index_build(
+        spark, ParquetWarehouse(root), emb, name="ann", n_centroids=4, train_iters=0
+    )
+    cents3, assigned3 = ivf_index_load(spark, ParquetWarehouse(root), "ann")
+    assert len(cents3) == 4
+    assert assigned3.count() == emb.count()  # newest build only, not both
+
+
+def test_job_index_subcommand(spark, tmp_path, capsys):
+    """job.py index: the operational build — centroid + assigned tables
+    committed with lineage, loadable for search."""
+    import json as _json
+
+    from watchman_spark.job import main as job_main
+    from watchman_spark.operators.similarity import ivf_index_load
+    from watchman_spark.sources.warehouse import ParquetWarehouse
+
+    corpus = str(tmp_path / "emb.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(
+        200
+    ).write.parquet(corpus)
+    rc = job_main([
+        "index", "--warehouse", str(tmp_path / "wh"), "--input", corpus,
+        "--name", "annx", "--n-centroids", "4", "--iters", "1",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["name"] == "annx" and out["n_centroids"] == 4
+    assert out["assigned_rows"] == 200
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    cents, assigned = ivf_index_load(spark, wh, "annx")
+    assert len(cents) == 4 and assigned.count() == 200
+    lin = wh.commits("annx_assigned")[-1]["lineage"]
+    assert lin["n_centroids"] == 4 and lin["train_iters"] == 1

@@ -171,6 +171,26 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build and persist an IVF ANN index as an operational job ("build
+    once, search many"): trains centroids over the corpus, assigns every
+    vector to its bucket, and commits <name>_centroids + <name>_assigned
+    warehouse tables with build-parameter lineage. Search jobs load them
+    via similarity.ivf_index_load and never retrain."""
+    from .operators.similarity import ivf_index_build
+
+    spark = _session(args)
+    wh = ParquetWarehouse(args.warehouse)
+    df = spark.read.parquet(args.input)
+    info = ivf_index_build(
+        spark, wh, df, name=args.name,
+        n_centroids=args.n_centroids, train_iters=args.iters,
+        id_col=args.id_col, vec_col=args.vec_col,
+    )
+    print(json.dumps({"name": args.name, **info}))
+    return 0
+
+
 def cmd_sql(args) -> int:
     from .sql import sql as run_sql
 
@@ -226,6 +246,16 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("--shingle-k", type=int, default=8)
     pd_.add_argument("--run-id", default="dedup-0")
     pd_.set_defaults(fn=cmd_dedup)
+
+    pi = sub.add_parser("index", help="build + persist an IVF ANN index")
+    _add_common(pi)
+    pi.add_argument("--input", required=True, help="parquet path of the corpus")
+    pi.add_argument("--name", default="ann_ivf")
+    pi.add_argument("--id-col", default="vec_id")
+    pi.add_argument("--vec-col", default="embedding")
+    pi.add_argument("--n-centroids", type=int, default=16)
+    pi.add_argument("--iters", type=int, default=1)
+    pi.set_defaults(fn=cmd_index)
 
     pq = sub.add_parser("sql", help="run Spark SQL over the warehouse tables")
     _add_common(pq)

@@ -259,12 +259,16 @@ def knn_join_ivf(
     query_vec_col: str = "q",
     train_iters: int = 1,
     centroids: list[list[float]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Batch ANN over an IVF index: every query probes its ``nprobe``
     nearest centroid buckets; candidates are exact-cosine ranked per query.
     Same join/window shape as knn_join_lsh, with the centroid id as the
     bucket key (n_centroids shuffle keys — size it ~sqrt(corpus) at scale).
-    Pass ``centroids`` to reuse a prebuilt index across calls."""
+    Pass ``centroids`` to reuse a prebuilt index across calls, and
+    ``assigned`` (the (id, v, centroid) table ivf_index_build persists) to
+    skip the corpus assignment pass entirely — the search job then touches
+    only the probed buckets' rows."""
     from pyspark.sql import Window
 
     if centroids is not None:
@@ -273,7 +277,8 @@ def knn_join_ivf(
         cents = ivf_train(corpus, n_centroids, train_iters, id_col, vec_col)
     else:
         cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
     probe = _assign_udf(cents, nprobe=nprobe)
     q = queries.select(
         F.col(query_id_col), as_double(F.col(query_vec_col)).alias("q")
@@ -457,6 +462,91 @@ def _assign_udf(centroids: list[list[float]], nprobe: int = 1):
     return assign
 
 
+# ---------------------------------------------------------------------------
+# Index persistence — "build once, search many" across sessions/jobs
+# (round-4 'What's missing #3'). The index is two warehouse tables with
+# shared lineage: <name>_centroids (centroid, vec — metadata-sized, one
+# driver-side Arrow append, no Spark job) and <name>_assigned (the
+# (id, v, centroid) corpus assignment — ONE distributed Arrow map over the
+# corpus, written partitioned so a search with nprobe buckets prunes to
+# nprobe/n_centroids of the files). Rebuilds append a new version; loads
+# read only the NEWEST build's commits.
+# ---------------------------------------------------------------------------
+
+
+def ivf_index_build(
+    spark,
+    wh,
+    corpus: DataFrame,
+    name: str = "ann_ivf",
+    n_centroids: int = 16,
+    train_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train (or seed-pick at train_iters=0) IVF centroids over ``corpus``
+    and persist the index to warehouse tables ``<name>_centroids`` and
+    ``<name>_assigned`` with build-parameter lineage. Returns
+    {"n_centroids", "assigned_rows", "centroids_commit", "assigned_commit"}.
+    The assigned table is hive-partitioned by centroid so a search job's
+    probe join reads only its nprobe buckets' files (partition pruning —
+    the on-disk analogue of the broadcast probe join)."""
+    import pyarrow as pa
+
+    if train_iters > 0:
+        cents = ivf_train(corpus, n_centroids, train_iters, id_col, vec_col)
+    else:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    lineage = {
+        "index": name,
+        "n_centroids": n_centroids,
+        "train_iters": train_iters,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    meta_a = wh.write_append(
+        assigned, f"{name}_assigned", partition_by=["centroid"], lineage=lineage
+    )
+    tbl = pa.table(
+        {"centroid": list(range(len(cents))), "vec": [list(c) for c in cents]}
+    )
+    meta_c = wh.write_append_arrow(f"{name}_centroids", tbl, lineage=lineage)
+    return {
+        "n_centroids": len(cents),
+        "assigned_rows": meta_a["rows"],
+        "centroids_commit": meta_c["id"],
+        "assigned_commit": meta_a["id"],
+    }
+
+
+def ivf_index_load(
+    spark, wh, name: str = "ann_ivf"
+) -> tuple[list[list[float]], DataFrame]:
+    """Load the NEWEST build of a persisted IVF index: returns
+    (centroids, assigned DataFrame) ready to pass to ivf_topk /
+    knn_join_ivf — no retraining, no re-assignment. Each build is one
+    commit per table, so 'newest build' = the last commit of each."""
+    import os
+
+    import pyarrow.dataset as pa_ds
+
+    ccs = wh.commits(f"{name}_centroids")
+    if not ccs:
+        raise ValueError(f"no persisted index named {name!r}")
+    cdir = os.path.join(wh.root, ccs[-1]["data_dir"])
+    t = pa_ds.dataset(cdir, format="parquet").to_table()
+    rows = sorted(zip(t["centroid"].to_pylist(), t["vec"].to_pylist()))
+    cents = [list(v) for _c, v in rows]
+    acs = wh.commits(f"{name}_assigned")
+    prev = acs[-2]["id"] if len(acs) > 1 else 0
+    assigned = wh.read(spark, f"{name}_assigned", from_snapshot=prev)
+    # hive partitioning reads `centroid` back as the partition column;
+    # restore the int type the probe join expects
+    assigned = assigned.withColumn("centroid", F.col("centroid").cast("int"))
+    return cents, assigned
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -481,6 +571,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     train_iters: int = 1,
     centroids: list[list[float]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """ANN via IVF: exact cosine rank inside the query's ``nprobe`` nearest
     centroid buckets. ``query_df`` is a 1-row DataFrame with a ``q`` array
@@ -488,15 +579,17 @@ def ivf_topk(
     force in tests/test_similarity.py). ``train_iters`` Lloyd iterations
     refine the deterministic seed centroids (default 1; 0 = raw seed picks;
     trained recall >= seed recall asserted in tests/test_similarity.py).
-    Pass ``centroids`` to reuse a prebuilt index (build once, search many —
-    a real deployment persists the trained centroids with the index)."""
+    Pass ``centroids`` (and optionally the persisted ``assigned`` table)
+    to reuse a prebuilt index — build once with ivf_index_build, search
+    many across sessions without retraining or re-assigning."""
     if centroids is not None:
         cents = centroids
     elif train_iters > 0:
         cents = ivf_train(df, n_centroids, train_iters, id_col, vec_col)
     else:
         cents = ivf_centroids(df, n_centroids, id_col, vec_col)
-    assigned = ivf_assign(df, cents, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(df, cents, id_col, vec_col)
     probe = _assign_udf(cents, nprobe=nprobe)
     q = (
         query_df.select(as_double(F.col("q")).alias("q"))
