@@ -281,3 +281,49 @@ def test_fresh_checkpoint_same_run_id_no_duplicates(spark, source_dir, tmp_path_
     golden = compute_golden(PARAMS)
     got = {s: wh.table_rows(f"sink_{s}") for s in SINKS}
     assert got == golden["per_sink"]  # exactly once despite full re-read
+
+
+def test_alert_error_rate_stream_equals_batch(spark, tmp_path_factory):
+    """Batch↔stream parity for the monitoring alert (round-4 task #7): the
+    SAME hourly error-rate expression run as a T2 tumbling-window streaming
+    aggregation produces exactly the batch query's rows on the same corpus
+    — (hour, n, n_err, err_rate, alert) sets are equal."""
+    from watchman_spark.queries_text import alert_error_rate
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {
+        (r["hour"], r["n"], r["n_err"], r["err_rate"], r["alert"])
+        for r in alert_error_rate(spark, sf_dir).collect()
+    }
+
+    src = str(tmp_path_factory.mktemp("alert_src"))
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(src)
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    rate = F.floor(n_err * 10000 / F.count(F.lit(1))).cast("double") / 10000
+    out = stream.groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        n_err.cast("long").alias("n_err"),
+        rate.alias("err_rate"),
+        (rate >= 0.25).alias("alert"),
+    )
+    ck = str(tmp_path_factory.mktemp("alert_ck"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("alert_stream")
+        .outputMode("complete")  # every window's final value, no watermark cut
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r["hour"], r["n"], r["n_err"], r["err_rate"], r["alert"])
+        for r in spark.sql(
+            "SELECT window.start AS hour, n, n_err, err_rate, alert FROM alert_stream"
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
