@@ -338,6 +338,9 @@ def main() -> None:
     if "--prefilter-ab" in sys.argv:
         prefilter_ab_main()
         return
+    if "--committer-ab" in sys.argv:
+        committer_ab_main()
+        return
     if "--calibrate" in sys.argv:
         print(json.dumps({"mode": "host-calibration", **calibrate_host()}))
         return
@@ -739,6 +742,81 @@ def scaling_main() -> None:
             }
         )
     )
+
+
+def committer_ab_main() -> None:
+    """A/B the file-output committer algorithm for the staged sink write on
+    the standalone cluster (round-4 judge task #6's code-side lever,
+    'each executor renames its own files'): v1's job commit is a SERIAL
+    driver-side rename pass over every task's partition dirs — a constant
+    cost that does not shrink with executors, i.e. a direct tax on scaling
+    efficiency — while v2 renames at task commit (executor-side,
+    parallel). v2 is safe for this engine because data visibility is
+    governed by the warehouse commit log, not by file presence (a v2
+    partial-failure leaves garbage in a staging dir that is removed
+    unconditionally). Interleaved [v2, v1] runs inside each session so
+    adjacent measurements share the host's weather; writes
+    BENCH/COMMITTER_AB.md."""
+    import statistics
+
+    cycles = max(1, int(os.environ.get("WATCHMAN_AB_CYCLES", "2")))
+    build_pyfiles_zip()
+    ensure_cluster(n_workers=4, cores=2, mem="12g")
+    e2e: dict[tuple[int, int], list[float]] = {}
+    wphase: dict[tuple[int, int], list[float]] = {}
+    rows = 0
+    path = None
+    try:
+        for cycle in range(cycles):
+            for n in (1, 4):
+                spark = cluster_session(n)
+                if path is None:
+                    path = ensure_bench_transcripts(spark, SCALING_SYNTH)
+                hconf = spark._jsc.hadoopConfiguration()
+                run_transcript_pipeline(spark, path)  # JIT warmup
+                for v in (2, 1):
+                    hconf.set(
+                        "mapreduce.fileoutputcommitter.algorithm.version", str(v)
+                    )
+                    r1, s1 = run_transcript_pipeline(spark, path)
+                    w1 = run_transcript_pipeline.last_stages.get("write", 0.0)
+                    _, s2 = run_transcript_pipeline(spark, path)
+                    w2 = run_transcript_pipeline.last_stages.get("write", 0.0)
+                    rows = r1
+                    e2e.setdefault((v, n), []).append(min(s1, s2))
+                    wphase.setdefault((v, n), []).append(w1 if s1 <= s2 else w2)
+                    print(
+                        f"cycle {cycle} {n}exec v{v}: "
+                        f"e2e={e2e[(v, n)][-1]:.2f}s write={wphase[(v, n)][-1]:.2f}s",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                spark.stop()
+    finally:
+        if not os.environ.get("WATCHMAN_KEEP_CLUSTER"):
+            stop_cluster()
+
+    def eff(v: int) -> float:
+        return statistics.median(
+            a / b for a, b in zip(e2e[(v, 1)], e2e[(v, 4)])
+        ) / 4
+
+    out = {
+        "mode": "committer-ab",
+        "rows": rows,
+        "cycles": cycles,
+        "e2e": {f"v{v}_{n}exec": [round(t, 2) for t in ts] for (v, n), ts in e2e.items()},
+        "write": {f"v{v}_{n}exec": [round(t, 2) for t in ts] for (v, n), ts in wphase.items()},
+        "eff_e2e_v1": round(eff(1), 3),
+        "eff_e2e_v2": round(eff(2), 3),
+        "speedup_4n_v2_over_v1": round(
+            statistics.median(e2e[(1, 4)]) / statistics.median(e2e[(2, 4)]), 3
+        ),
+    }
+    md = os.path.join(REPO, "BENCH", "COMMITTER_AB.md")
+    with open(md, "a") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps(out))
 
 
 def render_scaling_report() -> None:

@@ -182,3 +182,49 @@ def test_job_dedup_subcommand(spark, tmp_path, capsys):
     comps = {r["id"]: (r["component_id"], r["keep"])
              for r in wh.read(spark, "dedup_components").collect()}
     assert comps == {i: (0, i == 0) for i in range(6)}
+
+
+def test_job_ingest_subcommand(spark, tmp_path, capsys):
+    """job.py ingest: the operational near-dup ingestion loop — batch 1
+    seeds the corpus + signature ledger; batch 2's near-dups of corpus
+    docs are dropped without re-scanning corpus text; replay appends 0."""
+    import json as _json
+
+    from watchman_spark.job import main as job_main
+    from watchman_spark.sources.warehouse import ParquetWarehouse
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    wh_root = str(tmp_path / "wh")
+
+    b1 = str(tmp_path / "b1.parquet")
+    spark.createDataFrame(
+        [(1, base), (2, "completely different content about query engines")],
+        ["doc_id", "text"],
+    ).write.parquet(b1)
+    rc = job_main(["ingest", "--warehouse", wh_root, "--input", b1,
+                   "--shingle-k", "3", "--threshold", "0.5"])
+    assert rc == 0
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["appended"] == 2 and out1["dropped"] == 0
+
+    b2 = str(tmp_path / "b2.parquet")
+    spark.createDataFrame(
+        [(10, base.replace("lazy", "sleepy")),   # near-dup of corpus doc 1
+         (11, "fresh novel text with words never seen in earlier batches")],
+        ["doc_id", "text"],
+    ).write.parquet(b2)
+    rc = job_main(["ingest", "--warehouse", wh_root, "--input", b2,
+                   "--shingle-k", "3", "--threshold", "0.5"])
+    assert rc == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["appended"] == 1 and out2["dropped"] == 1
+    assert out2["corpus_rows"] == 3
+
+    # replay batch 2: complete no-op
+    rc = job_main(["ingest", "--warehouse", wh_root, "--input", b2,
+                   "--shingle-k", "3", "--threshold", "0.5"])
+    assert rc == 0
+    out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["appended"] == 0 and out3["corpus_rows"] == 3
+    wh = ParquetWarehouse(wh_root)
+    assert sorted(r["doc_id"] for r in wh.read(spark, "corpus").collect()) == [1, 2, 11]

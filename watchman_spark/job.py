@@ -171,6 +171,43 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Incremental NEAR-DUP corpus ingestion as an operational job: the
+    batch is LSH-checked against the warehouse's MinHash signature ledger
+    (+ itself), survivors are appended to the corpus table and their
+    signatures to the ledger — the corpus text is never re-scanned, and
+    replaying the same batch is a no-op (0 appended)."""
+    from pyspark.sql.types import StructType
+
+    from .operators.dedup import dedup_ingest_neardup
+
+    spark = _session(args)
+    wh = ParquetWarehouse(args.warehouse)
+    batch = spark.read.parquet(args.input)
+    ledger_table = f"{args.corpus_table}_sig_ledger"
+    id_type = batch.schema[args.id_col].dataType.simpleString()
+    ledger = wh.read(
+        spark, ledger_table,
+        schema=StructType.fromDDL(f"id {id_type}, sig array<bigint>"),
+    )
+    survivors, sigs = dedup_ingest_neardup(
+        batch, ledger, id_col=args.id_col, text_col=args.text_col,
+        k=args.shingle_k, threshold=args.threshold,
+    )
+    lineage = {"run_id": args.run_id}
+    meta = wh.write_append(survivors, args.corpus_table, lineage=lineage)
+    wh.write_append(sigs, ledger_table, lineage=lineage)
+    n_batch = batch.count()
+    print(json.dumps({
+        "batch_rows": n_batch,
+        "appended": meta["rows"],
+        "dropped": n_batch - meta["rows"],
+        "corpus_rows": wh.table_rows(args.corpus_table),
+        "ledger_rows": wh.table_rows(ledger_table),
+    }))
+    return 0
+
+
 def cmd_index(args) -> int:
     """Build and persist an IVF ANN index as an operational job ("build
     once, search many"): trains centroids over the corpus, assigns every
@@ -246,6 +283,19 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("--shingle-k", type=int, default=8)
     pd_.add_argument("--run-id", default="dedup-0")
     pd_.set_defaults(fn=cmd_dedup)
+
+    pg = sub.add_parser(
+        "ingest", help="near-dup-deduped corpus ingestion via the signature ledger"
+    )
+    _add_common(pg)
+    pg.add_argument("--input", required=True, help="parquet path of the new batch")
+    pg.add_argument("--corpus-table", default="corpus")
+    pg.add_argument("--id-col", default="doc_id")
+    pg.add_argument("--text-col", default="text")
+    pg.add_argument("--shingle-k", type=int, default=8)
+    pg.add_argument("--threshold", type=float, default=0.8)
+    pg.add_argument("--run-id", default="ingest-0")
+    pg.set_defaults(fn=cmd_ingest)
 
     pi = sub.add_parser("index", help="build + persist an IVF ANN index")
     _add_common(pi)
