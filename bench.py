@@ -621,6 +621,20 @@ def calibrate_host(seconds: float = 3.0) -> dict:
     return out
 
 
+def tmpfs_probe() -> float:
+    """The tmpfs_alloc half of calibrate_host alone (~6s): the host's own
+    4->16-writer fresh-page scaling ceiling, cheap enough to run once per
+    scaling cycle. Returns the efficiency ratio (r16 / r4 / 4)."""
+    import multiprocessing as mp
+
+    def shm_rate(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            return sum(p.map(_shm_writer, range(procs)))
+
+    r4, r16 = shm_rate(4), shm_rate(16)
+    return round(r16 / r4 / 4, 3)
+
+
 def _cpu_burn(n: int) -> int:
     """One pure-CPU calibration worker (module-level for mp pickling)."""
     x = 0
@@ -671,6 +685,11 @@ def scaling_main() -> None:
     # tmpfs pages, so its series can be read against the tmpfs_alloc
     # calibration ceiling instead of blurring into the e2e number
     wphase: dict[int, list[float]] = {n_a: [], n_b: []}
+    # per-cycle tmpfs probe: the host's OWN 4->16-writer ceiling measured
+    # right after each cycle's pair, so a stall-hit cycle is attributable
+    # in the artifact itself (the run-level calibration is one sample per
+    # ~10 min and can miss a stall that opened mid-run)
+    probe_cycles: list[float] = []
     rows = 0
     path = None
     try:
@@ -700,6 +719,12 @@ def scaling_main() -> None:
                     flush=True,
                 )
                 spark.stop()
+            probe_cycles.append(tmpfs_probe())
+            print(
+                f"cycle {cycle} tmpfs probe: {probe_cycles[-1]:.3f}",
+                file=sys.stderr,
+                flush=True,
+            )
     finally:
         if not os.environ.get("WATCHMAN_KEEP_CLUSTER"):
             stop_cluster()
@@ -723,6 +748,7 @@ def scaling_main() -> None:
         "write_n": [round(t, 2) for t in wphase[n_a]],
         "write_4n": [round(t, 2) for t in wphase[n_b]],
         "calib": calib,
+        "calib_tmpfs_cycles": probe_cycles,
     }
     runs_path = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
     with open(runs_path, "a") as f:
@@ -838,6 +864,12 @@ def render_scaling_report() -> None:
         be, bp = min(r["e2e_4n"]), min(r["parse_4n"])
         bne, bnp = min(r["e2e_n"]), min(r["parse_n"])
         ee, pe = effs(r, "e2e"), effs(r, "parse")
+        probes = (
+            f"\n\nPer-cycle tmpfs probe (host's own 4->16-writer ceiling, "
+            f"measured right after each cycle): {r['calib_tmpfs_cycles']}"
+            if r.get("calib_tmpfs_cycles")
+            else ""
+        )
         return (
             "| series | walls at N (s) | walls at 4N (s) | best thpt N (t/s) | "
             "best thpt 4N (t/s) | per-cycle eff | run median |\n"
@@ -846,12 +878,39 @@ def render_scaling_report() -> None:
             f"{r['rows'] / be:,.0f} | {[round(x, 3) for x in ee]} | **{statistics.median(ee):.3f}** |\n"
             f"| parse+route | {r['parse_n']} | {r['parse_4n']} | {r['rows'] / bnp:,.0f} | "
             f"{r['rows'] / bp:,.0f} | {[round(x, 3) for x in pe]} | **{statistics.median(pe):.3f}** |"
+            + probes
         )
 
     all_e2e = sorted(x for r in runs for x in effs(r, "e2e"))
     all_parse = sorted(x for r in runs for x in effs(r, "parse"))
     pooled_e2e = statistics.median(all_e2e)
     pooled_parse = statistics.median(all_parse)
+    # weather-gated SECONDARY view: pooled e2e over cycles with a SAME-CYCLE
+    # tmpfs probe >=0.8 — i.e. cycles where the host itself could have shown
+    # 0.8 in that exact window. Run-level calibration is deliberately NOT
+    # used as a fallback gate: it is one sample per ~10-min run and misses
+    # in-run stalls (run 7 calibrated 0.902 after its stalls had drained
+    # while its cycles collapsed to 0.18-0.35). Attribution, not the
+    # headline: all cycles stay recorded and pooled above.
+    probed = [
+        (r["calib_tmpfs_cycles"][i], e)
+        for r in runs
+        for i, e in enumerate(effs(r, "e2e"))
+        if i < len(r.get("calib_tmpfs_cycles") or [])
+    ]
+    gated_e2e = sorted(e for p, e in probed if p >= 0.8)
+    gated_bullet = (
+        f"""- Weather-gated e2e view (cycles with a SAME-CYCLE tmpfs probe ≥0.8,
+  i.e. the host itself could have shown 0.8 in that exact window; probes
+  recorded from run 8 on — run-level calibration is not used as a gate
+  because it misses in-run stalls): median
+  **{statistics.median(gated_e2e):.3f}** over {len(gated_e2e)} of
+  {len(probed)} probed cycles ({len(all_e2e)} total). Secondary
+  attribution only; every cycle stays in the pooled headline above.
+"""
+        if gated_e2e
+        else ""
+    )
     best_4n = min(x for r in runs for x in r["e2e_4n"])
     best_p4n = min(x for r in runs for x in r["parse_4n"])
 
@@ -937,7 +996,7 @@ bounds the criterion from below.
   {", ".join(f"{x:.3f}" for x in all_e2e)}). Target ≥ 0.8.
 - **parse+route (criterion-metric) efficiency: median {pooled_parse:.3f}**
   (cycles sorted: {", ".join(f"{x:.3f}" for x in all_parse)}). Target ≥ 0.8.
-- Best 4N throughput: **{rows / best_p4n:,.0f} turns/s parse+route,
+{gated_bullet}- Best 4N throughput: **{rows / best_p4n:,.0f} turns/s parse+route,
   {rows / best_4n:,.0f} turns/s end-to-end** (8 executor cores).
 {write_section}
 Within-cycle splits are the variance story: a cycle can show parse

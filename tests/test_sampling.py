@@ -308,3 +308,82 @@ def test_stratified_sql_quoted_stratum_matches_spark(spark):
     pred = stratified_sql("k", "s", fracs)
     got = duckdb.sql(f"SELECT k FROM pdf WHERE {pred} ORDER BY k").fetchall()
     assert [g[0] for g in got] == want
+
+
+# ---------------------------------------------------------------------------
+# source mixing (token-budget curriculum sampling)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mix_df(spark):
+    # 3 sources x 40 docs, token counts 1..40; per-source targets planted
+    # on the rows (the operators read target_col, however it was derived)
+    rows = [
+        (s * 100 + i, f"s{s}", i + 1, float(t))
+        for s, t in ((0, 120.0), (1, 55.5), (2, 10_000.0))
+        for i in range(40)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, n_tok long, target double"
+    ).cache()
+
+
+def _mix_hash(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+
+def test_mix_exact_is_maximal_hash_prefix(spark, mix_df):
+    got = {
+        r["doc_id"]
+        for r in sampling.source_mix_exact(
+            mix_df, "doc_id", "source", "n_tok", "target"
+        ).collect()
+    }
+    # recompute the expected prefix per source with the same md5 ordering
+    rows = mix_df.collect()
+    want = set()
+    for src in {"s0", "s1", "s2"}:
+        docs = sorted(
+            (r for r in rows if r["source"] == src),
+            key=lambda r: (_mix_hash(r["doc_id"]), r["doc_id"]),
+        )
+        cum, target = 0, docs[0]["target"]
+        for r in docs:
+            cum += r["n_tok"]
+            if cum <= target:
+                want.add(r["doc_id"])
+            else:
+                break
+    assert got == want
+    # the generous target keeps its whole source; the tight ones cut
+    assert sum(1 for d in got if d >= 200) == 40
+    assert 0 < sum(1 for d in got if d < 100) < 40
+
+
+def test_mix_sampled_deterministic_and_budget_shaped(spark, mix_df):
+    out = sampling.source_mix_sampled(mix_df, "doc_id", "source", "n_tok", "target")
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in out.collect()}
+    assert a == b  # hash-deterministic, not rand()
+    # target >= total -> frac clamps to 1 -> whole source kept
+    assert sum(1 for d in a if d >= 200) == 40
+    # tight targets keep strict subsets
+    assert 0 < sum(1 for d in a if d < 100) < 40
+    # expected kept tokens per tight source ~ target (frac * total = target);
+    # allow generous binomial slack at n=40
+    rows = {r["doc_id"]: r for r in mix_df.collect()}
+    kept_tok = sum(rows[d]["n_tok"] for d in a if d < 100)
+    assert 0 < kept_tok < 3 * 120
+
+
+def test_mix_sampled_never_shuffles_corpus(spark, mix_df):
+    out = sampling.source_mix_sampled(mix_df, "doc_id", "source", "n_tok", "target")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side join is broadcast; the only hash exchange is the
+    # n_sources-row partial agg feeding the broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:800]

@@ -108,6 +108,74 @@ def stratified_sql(
     return f"substr(md5(CAST({key_sql} AS VARCHAR)), 1, {HEX_WIDTH}) < {case}"
 
 
+def _hash32(key: Column) -> Column:
+    """First 8 md5 hex chars of the stringified key as a bigint in
+    [0, 2^32): the portable uniform for DATA-DEPENDENT thresholds (the
+    hex-prefix string compare above needs a compile-time threshold; a
+    target derived from corpus totals doesn't have one). Engine-exact:
+    ``conv(substr(md5(k),1,8),16,10)`` in Spark ≡
+    ``('0x'||substr(md5(k),1,8))::BIGINT`` in DuckDB (verified
+    value-identical)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+
+
+def source_mix_exact(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    token_col: str,
+    target_col: str,
+) -> DataFrame:
+    """Curriculum/source mixing, EXACT variant: per source, keep the
+    maximal hash-ordered prefix of documents whose cumulative token count
+    stays within the row's per-source token target (``target_col``,
+    usually budget × weight / Σweights computed upstream).
+
+    Deterministic (hash order, not rand) and engine-portable. Scale
+    boundary: the window partitions by SOURCE — a handful of partitions,
+    each sorted in one task — so this is the small-dimension path (final
+    budget trim, per-source doc lists that fit a task). For the 100 TB
+    first pass use ``source_mix_sampled``, which never shuffles the
+    corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(_hash32(F.col(key_col)), key_col)
+    cum = F.sum(token_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_cum", cum)
+        .filter(F.col("_cum") <= F.col(target_col))
+        .drop("_cum")
+    )
+
+
+def source_mix_sampled(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    token_col: str,
+    target_col: str,
+) -> DataFrame:
+    """Curriculum/source mixing, SCALE variant: compute per-source token
+    totals (a partial-agg shuffle of n_sources × n_partitions rows — the
+    corpus itself never shuffles), broadcast them back, and keep each doc
+    map-side with probability least(1, target/total) on the portable
+    32-bit doc hash. Expected tokens per source ≈ target; the corpus
+    stays where it is — ONE tiny exchange + one broadcast join + a map
+    filter, the right shape at 10^12 documents."""
+    totals = df.groupBy(source_col).agg(F.sum(token_col).alias("_tot"))
+    u = _hash32(F.col(key_col)) / F.lit(float(2**32))
+    return (
+        df.join(F.broadcast(totals), source_col)
+        .filter(u < F.least(F.lit(1.0), F.col(target_col) / F.col("_tot")))
+        .drop("_tot")
+    )
+
+
 def with_split(
     df: DataFrame,
     key_col: str,

@@ -962,6 +962,163 @@ def alert_stuck_sessions(spark, sf_dir):
     )
 
 
+@register(
+    "sessionize_events",
+    """WITH g AS (
+         SELECT event_id, user_id, ts,
+                lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_ts
+         FROM events)
+       SELECT event_id, user_id,
+              CAST(SUM(CASE WHEN prev_ts IS NULL
+                            OR date_diff('second', prev_ts, ts) > 43200
+                            THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+       FROM g""",
+)
+def sessionize_events(spark, sf_dir):
+    """Batch gap-sessionization (operators/sessionize.py): the batch twin
+    of the T4 streaming session window, assigning a 1-based session_seq
+    per user by 12h inactivity gap. One exchange on user_id; both window
+    passes (lag flag, running sum) share its sort."""
+    from .operators.sessionize import sessionize
+
+    ev = t(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", gap_s=43200).select(
+        "event_id", "user_id", "session_seq"
+    )
+
+
+@register(
+    "session_stats_events",
+    """WITH g AS (
+         SELECT event_id, user_id, ts, event_type,
+                lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_ts
+         FROM events),
+       s AS (
+         SELECT user_id, ts, event_type,
+                CAST(SUM(CASE WHEN prev_ts IS NULL
+                              OR date_diff('second', prev_ts, ts) > 43200
+                              THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+         FROM g)
+       SELECT user_id, session_seq,
+              COUNT(*) AS n_events,
+              MIN(ts) AS session_start,
+              MAX(ts) AS session_end,
+              CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+                AS duration_s,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_errors
+       FROM s GROUP BY 1, 2""",
+)
+def session_stats_events(spark, sf_dir):
+    """Per-session rollup over sessionize output: counts, bounds,
+    whole-second duration, error count. HashPartitioning(user_id) from
+    the window already satisfies the (user_id, session_seq) clustering,
+    so the rollup adds NO second exchange (plan-asserted in
+    tests/test_sessionize.py)."""
+    from .operators.sessionize import session_stats, sessionize
+
+    ev = t(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", gap_s=43200)
+    extra = {
+        "n_errors": F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("long")
+    }
+    return session_stats(sess, "user_id", "ts", extra_aggs=extra)
+
+
+# shared CTE prefix for the two source-mixing oracles: per-doc whitespace
+# tokens, a weight derived from the source name (1 + src_index % 3), the
+# half-corpus token budget, and the weight normalizer
+_MIX_D_SQL = """d AS (
+         SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                1 + (CAST(substr(source, 4, 10) AS INT) % 3) AS w
+         FROM documents),
+       tot AS (SELECT 0.5 * SUM(n_tok) AS budget FROM d),
+       ws AS (SELECT SUM(w) AS wsum
+              FROM (SELECT DISTINCT source, w FROM d))"""
+
+
+def _mix_base(spark, sf_dir):
+    """Spark mirror of _MIX_D_SQL: documents with per-doc tokens, source
+    weight, and the per-source token target budget*w/wsum appended (two
+    broadcast-1-row scalar joins)."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            textstats.token_count_ws(F.col("text")).alias("n_tok"),
+        )
+        .withColumn(
+            "w", F.substring(F.col("source"), 4, 10).cast("int") % 3 + 1
+        )
+    )
+    tot = d.agg((F.lit(0.5) * F.sum("n_tok")).alias("budget"))
+    ws = d.select("source", "w").distinct().agg(F.sum("w").alias("wsum"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ws))
+        .withColumn("target", F.col("budget") * F.col("w") / F.col("wsum"))
+    )
+
+
+@register(
+    "mix_token_budget",
+    f"""WITH {_MIX_D_SQL},
+       c AS (
+         SELECT doc_id, source, n_tok,
+                budget * w / wsum AS target,
+                SUM(n_tok) OVER (
+                  PARTITION BY source
+                  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                           doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum
+         FROM d, tot, ws)
+       SELECT doc_id, source, n_tok FROM c WHERE cum <= target""",
+)
+def mix_token_budget(spark, sf_dir):
+    """Curriculum mixing, exact variant (sampling.source_mix_exact): keep
+    the maximal hash-ordered prefix per source whose cumulative tokens fit
+    the weighted share of a half-corpus budget. Window partitions by
+    source — the small-dimension trim path; the scale path is the sampled
+    variant below."""
+    out = sampling.source_mix_exact(
+        _mix_base(spark, sf_dir), "doc_id", "source", "n_tok", "target"
+    )
+    return out.select("doc_id", "source", "n_tok")
+
+
+@register(
+    "mix_token_budget_sampled",
+    f"""WITH {_MIX_D_SQL},
+       s AS (SELECT source, SUM(n_tok) AS tot_s FROM d GROUP BY source)
+       SELECT d.doc_id, d.source, d.n_tok
+       FROM d, tot, ws
+       JOIN s ON d.source = s.source
+       WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0
+             < LEAST(1.0, (budget * w / wsum) / tot_s)""",
+)
+def mix_token_budget_sampled(spark, sf_dir):
+    """Curriculum mixing, scale variant (sampling.source_mix_sampled):
+    per-source keep-fraction least(1, target/total) applied map-side on
+    the portable 32-bit doc hash — the corpus never shuffles; only a
+    n_sources-row partial agg and a broadcast join. Deterministic, so
+    fully DuckDB-oracled including the hash arithmetic."""
+    out = sampling.source_mix_sampled(
+        _mix_base(spark, sf_dir), "doc_id", "source", "n_tok", "target"
+    )
+    return out.select("doc_id", "source", "n_tok")
+
+
 @register("pack_sequences", None)  # rows-only: BFD bin packing is not SQL
 def pack_sequences_q(spark, sf_dir):
     """Sequence packing of documents into 512-token windows (whitespace
