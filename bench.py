@@ -142,6 +142,14 @@ def run_transcript_pipeline(spark, path: str) -> tuple[int, float]:
         )
         secs = time.time() - t0
         run_transcript_pipeline.last_stages = dict(m.stages)
+        total = 0
+        for root, _dirs, files in os.walk(wh_root):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+        run_transcript_pipeline.last_bytes = total
         return m.rows_in, secs
     finally:
         shutil.rmtree(wh_root, ignore_errors=True)
@@ -340,6 +348,9 @@ def main() -> None:
         return
     if "--committer-ab" in sys.argv:
         committer_ab_main()
+        return
+    if "--codec-ab" in sys.argv:
+        codec_ab_main()
         return
     if "--calibrate" in sys.argv:
         print(json.dumps({"mode": "host-calibration", **calibrate_host()}))
@@ -840,6 +851,83 @@ def committer_ab_main() -> None:
         ),
     }
     md = os.path.join(REPO, "BENCH", "COMMITTER_AB.md")
+    with open(md, "a") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps(out))
+
+
+def codec_ab_main() -> None:
+    """A/B the staged-write parquet codec (zstd vs snappy) on the
+    standalone cluster. Rationale: the e2e scaling residual is the write
+    phase pushing fresh pages through ONE shared tmpfs — fewer output
+    bytes = fewer page allocations = less exposure to the host's episodic
+    writeback stalls; zstd also reads back smaller for the two post-write
+    aggregate jobs. The trade is encode CPU (zstd > snappy); on text-heavy
+    transcript rows zstd typically compresses 2-3x better. Interleaved
+    [zstd, snappy] inside each session so adjacent measurements share the
+    host's weather; records output bytes per codec so the byte-reduction
+    claim is measured, not assumed. Appends to BENCH/CODEC_AB.md."""
+    import statistics
+
+    cycles = max(1, int(os.environ.get("WATCHMAN_AB_CYCLES", "2")))
+    build_pyfiles_zip()
+    ensure_cluster(n_workers=4, cores=2, mem="12g")
+    e2e: dict[tuple[str, int], list[float]] = {}
+    wphase: dict[tuple[str, int], list[float]] = {}
+    out_bytes: dict[str, int] = {}
+    rows = 0
+    path = None
+    try:
+        for cycle in range(cycles):
+            for n in (1, 4):
+                spark = cluster_session(n)
+                if path is None:
+                    path = ensure_bench_transcripts(spark, SCALING_SYNTH)
+                run_transcript_pipeline(spark, path)  # JIT warmup
+                for codec in ("zstd", "snappy"):
+                    spark.conf.set("spark.sql.parquet.compression.codec", codec)
+                    r1, s1 = run_transcript_pipeline(spark, path)
+                    w1 = run_transcript_pipeline.last_stages.get("write", 0.0)
+                    b1 = getattr(run_transcript_pipeline, "last_bytes", 0)
+                    _, s2 = run_transcript_pipeline(spark, path)
+                    w2 = run_transcript_pipeline.last_stages.get("write", 0.0)
+                    rows = r1
+                    e2e.setdefault((codec, n), []).append(min(s1, s2))
+                    wphase.setdefault((codec, n), []).append(w1 if s1 <= s2 else w2)
+                    out_bytes[codec] = b1
+                    print(
+                        f"cycle {cycle} {n}exec {codec}: "
+                        f"e2e={e2e[(codec, n)][-1]:.2f}s "
+                        f"write={wphase[(codec, n)][-1]:.2f}s bytes={b1:,}",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                spark.stop()
+    finally:
+        if not os.environ.get("WATCHMAN_KEEP_CLUSTER"):
+            stop_cluster()
+
+    def eff(codec: str) -> float:
+        return statistics.median(
+            a / b for a, b in zip(e2e[(codec, 1)], e2e[(codec, 4)])
+        ) / 4
+
+    out = {
+        "mode": "codec-ab",
+        "rows": rows,
+        "cycles": cycles,
+        "e2e": {f"{c}_{n}exec": [round(t, 2) for t in ts] for (c, n), ts in e2e.items()},
+        "write": {f"{c}_{n}exec": [round(t, 2) for t in ts] for (c, n), ts in wphase.items()},
+        "bytes": out_bytes,
+        "eff_e2e_zstd": round(eff("zstd"), 3),
+        "eff_e2e_snappy": round(eff("snappy"), 3),
+        "write_4n_speedup_zstd": round(
+            statistics.median(wphase[("snappy", 4)])
+            / statistics.median(wphase[("zstd", 4)]),
+            3,
+        ),
+    }
+    md = os.path.join(REPO, "BENCH", "CODEC_AB.md")
     with open(md, "a") as f:
         f.write(json.dumps(out) + "\n")
     print(json.dumps(out))
