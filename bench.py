@@ -61,6 +61,11 @@ HEADLINE = [
     "text_decontaminate",
     "ann_brute_force",
     "ann_knn_join",
+    # round-5 additions: batch sessionization rollup, never-shuffle source
+    # mixing, and quantized ANN — the new operator families' headline shapes
+    "session_stats_events",
+    "mix_token_budget_sampled",
+    "ann_quantized_topk",
 ]
 
 

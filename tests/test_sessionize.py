@@ -74,3 +74,59 @@ def test_sessionize_matches_streaming_session_count(spark):
     )
     w_max = sess.groupBy("user_id").agg(F.max("session_seq").alias("m"))
     assert n_sessions == w_max.agg(F.sum("m")).collect()[0][0]
+
+
+def test_batch_sessionize_matches_streaming_session_window(spark, tmp_path_factory):
+    """Batch gap-sessionization ≡ streaming T4 session windows on the same
+    transcript corpus: the per-session turn-count multiset must agree.
+    (Semantics guard: the batch path compares second-truncated gaps with
+    '>', the stream merges events strictly inside the raw-timestamp gap —
+    the test first asserts the corpus has no inter-turn gap within ±2 s of
+    the boundary, so both definitions induce the same partition.)"""
+    from watchman_spark.streaming.stream import (
+        read_transcript_stream,
+        sessionized_counts,
+    )
+    from watchman_spark.synth import SynthParams, synth_transcripts
+
+    params = SynthParams(seed=11, n_convs=40, C=300, hot_cap=120)
+    df = synth_transcripts(spark, params)
+    gap_s = 600
+
+    # boundary guard: no per-conv gap inside [gap-2, gap+2] seconds
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    gaps = (
+        df.withColumn("g", F.col("ts").cast("double") - F.lag("ts").over(w).cast("double"))
+        .filter(F.col("g").isNotNull())
+        .filter((F.col("g") > gap_s - 2) & (F.col("g") < gap_s + 2))
+        .count()
+    )
+    assert gaps == 0, "corpus has near-boundary gaps; pick another gap_s"
+
+    batch = sessionize(df, "conv_id", "ts", gap_s=gap_s, tiebreak_cols=("turn_idx",))
+    batch_counts = sorted(
+        (r["conv_id"], r["n_events"])
+        for r in session_stats(batch, "conv_id", "ts").collect()
+    )
+
+    src = str(tmp_path_factory.mktemp("sess_parity_src"))
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    stream = read_transcript_stream(spark, src)
+    out = sessionized_counts(stream, gap="10 minutes", watermark="2 hours")
+    ck = str(tmp_path_factory.mktemp("sess_parity_ck"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_parity")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    stream_counts = sorted(
+        (r["conv_id"], r["n_turns"])
+        for r in spark.sql("SELECT conv_id, n_turns FROM sess_parity").collect()
+    )
+    assert stream_counts == batch_counts

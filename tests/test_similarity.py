@@ -368,3 +368,59 @@ def test_job_index_subcommand(spark, tmp_path, capsys):
     assert len(cents) == 4 and assigned.count() == 200
     lin = wh.commits("annx_assigned")[-1]["lineage"]
     assert lin["n_centroids"] == 4 and lin["train_iters"] == 1
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_bounds_and_dequant_error(spark):
+    from watchman_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = quantize_embeddings(emb).select("vec_id", "embedding", "q", "q_scale")
+    for r in out.limit(50).collect():
+        xs, qs, scale = r["embedding"], r["q"], r["q_scale"]
+        assert max(abs(q) for q in qs) == 127  # scale anchored on max|x|
+        assert all(-127 <= q <= 127 for q in qs)
+        for x, q in zip(xs, qs):
+            # symmetric round-to-nearest: dequant error <= scale/2 (+fp eps)
+            assert abs(q * scale - float(x)) <= scale / 2 + 1e-9
+
+
+def test_quantize_zero_vector_guard(spark):
+    from watchman_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: (r["q"], r["q_scale"]) for r in quantize_embeddings(df).collect()}
+    assert got[1] == ([0, 0, 0], 0.0)
+    assert got[2][0] == [64, -127, 32]
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    from watchman_spark.operators.similarity import (
+        as_double,
+        brute_force_topk,
+        brute_force_topk_quantized,
+        quantize_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    recalls = []
+    for qid in (0, 7, 23):
+        fq = emb.filter(F.col("vec_id") == qid).select(
+            as_double(F.col("embedding")).alias("q")
+        )
+        want = {r["vec_id"] for r in brute_force_topk(emb, fq, k=20).collect()}
+        qq = quantize_embeddings(emb.filter(F.col("vec_id") == qid)).select("q")
+        got = {
+            r["vec_id"]
+            for r in brute_force_topk_quantized(emb, qq, k=20).collect()
+        }
+        recalls.append(len(want & got) / 20)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls

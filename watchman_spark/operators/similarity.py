@@ -60,6 +60,69 @@ def brute_force_topk(
     )
 
 
+def quantize_vec(vec: Column) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 scalar quantization: q_i =
+    round(x_i * 127 / max|x|) ∈ [-127, 127], plus the dequant scale
+    max|x| / 127. Returns (q_array<int>, scale_double); an all-zero vector
+    quantizes to zeros with scale 0.
+
+    Why at 100 TB: int8 cuts the bytes an ANN scan/shuffle moves per
+    vector 4× (the brute-force and IVF-probe phases are memory-bandwidth
+    bound, not FLOP bound), and COSINE is scale-invariant, so ranking by
+    the quantized cosine needs no dequantization at all — scales cancel.
+    Everything stays JVM-side (higher-order functions), and the
+    arithmetic is engine-portable: products of ints ≤127² summed over any
+    realistic dim stay exact in doubles, so the fold order can't diverge
+    between engines."""
+    v = as_double(vec)
+    maxabs = F.array_max(F.transform(v, F.abs))
+    q = F.when(
+        maxabs == 0.0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x * 127.0 / maxabs).cast("int"))
+    )
+    return q, maxabs / 127.0
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Append int8-quantized vectors + dequant scales (see quantize_vec)."""
+    q, scale = quantize_vec(F.col(vec_col))
+    return df.withColumn(out_col, q).withColumn(scale_col, scale)
+
+
+def brute_force_topk_quantized(
+    df: DataFrame,
+    query_vec: Column | DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 20,
+) -> DataFrame:
+    """brute_force_topk over int8-quantized vectors: rank by the cosine of
+    the QUANTIZED arrays (scale-invariant, no dequant). Same plan shape as
+    the float path — broadcast 1-row query, TakeOrderedAndProject — at a
+    quarter of the scan bytes once the corpus is stored quantized."""
+    q, _ = quantize_vec(F.col(vec_col))
+    base = df.select(F.col(id_col), q.alias("v"))
+    if isinstance(query_vec, DataFrame):
+        scored = base.crossJoin(F.broadcast(query_vec))
+    else:
+        scored = base.withColumn("q", query_vec)
+    qd = F.transform(F.col("q"), lambda x: x.cast("double"))
+    vd = F.transform(F.col("v"), lambda x: x.cast("double"))
+    return (
+        scored.select(
+            F.col(id_col), F.round(cosine(vd, qd), 4).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     block_col: str,

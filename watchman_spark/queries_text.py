@@ -328,6 +328,74 @@ def ann_brute_force(spark, sf_dir):
     return brute_force_topk(emb, q, k=20)
 
 
+# int8 quantization CTE shared by the two quantized-embedding oracles:
+# per-vector symmetric scalar quantization, the CASE guarding all-zero vecs
+_QUANT_SQL = """v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        m AS (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS maxabs
+              FROM v),
+        q AS (SELECT vec_id, maxabs / 127.0 AS q_scale,
+                     CASE WHEN maxabs = 0
+                          THEN list_transform(v, x -> 0)
+                          ELSE list_transform(
+                                 v, x -> CAST(round(x * 127.0 / maxabs) AS INT))
+                     END AS qv
+              FROM m)"""
+
+
+@register(
+    "emb_quantize",
+    f"""WITH {_QUANT_SQL}
+        SELECT vec_id, array_to_string(qv, ',') AS q_str, q_scale FROM q""",
+)
+def emb_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column
+    (similarity.quantize_embeddings): 4x fewer bytes per vector for the
+    memory-bandwidth-bound ANN scans; pure JVM higher-order functions.
+    The quantized array is exposed as a joined string so the oracle
+    compare is cell-scalar (the fn_map lesson)."""
+    from .operators.similarity import quantize_embeddings
+
+    out = quantize_embeddings(t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.array_join(F.transform("q", lambda x: x.cast("string")), ",").alias(
+            "q_str"
+        ),
+        "q_scale",
+    )
+
+
+@register(
+    "ann_quantized_topk",
+    f"""WITH {_QUANT_SQL},
+        d AS (SELECT vec_id,
+                     list_transform(qv, x -> CAST(x AS DOUBLE)) AS qd
+              FROM q),
+        qq AS (SELECT qd AS queryv FROM d WHERE vec_id = 0)
+        SELECT d.vec_id,
+               round(list_dot_product(d.qd, queryv)
+                     / (sqrt(list_dot_product(d.qd, d.qd))
+                        * sqrt(list_dot_product(queryv, queryv))), 4) AS cos_sim
+        FROM d, qq
+        ORDER BY cos_sim DESC, d.vec_id LIMIT 20""",
+)
+def ann_quantized_topk(spark, sf_dir):
+    """Brute-force top-k over QUANTIZED vectors
+    (similarity.brute_force_topk_quantized): cosine is scale-invariant so
+    ranking needs no dequantization; int products summed in doubles are
+    exact, making even the fold engine-portable. Recall vs the float path
+    is pinned in tests/test_similarity.py."""
+    from .operators.similarity import brute_force_topk_quantized, quantize_embeddings
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = (
+        quantize_embeddings(emb.filter(F.col("vec_id") == 0))
+        .select(F.col("q"))
+    )
+    return brute_force_topk_quantized(emb, q, k=20)
+
+
 def _lsh_bucket_sql(vec_sql: str, dim: int, n_planes: int) -> str:
     """The DuckDB rendering of lsh_bucket — the plane literals come from
     the SAME plane_signs() the Spark expression embeds, so bucket
