@@ -1101,6 +1101,73 @@ def session_stats_events(spark, sf_dir):
     return session_stats(sess, "user_id", "ts", extra_aggs=extra)
 
 
+@register(
+    "context_assembly_events",
+    """WITH e AS (
+         SELECT user_id, event_type,
+                CAST(floor(value) AS BIGINT) + 1 AS tok,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS seq
+         FROM events),
+       c AS (
+         SELECT *, SUM(tok) OVER (PARTITION BY user_id ORDER BY seq
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+         FROM e),
+       m AS (
+         SELECT *,
+                MIN(seq) OVER (PARTITION BY user_id ORDER BY cum
+                               RANGE BETWEEN 200 PRECEDING AND CURRENT ROW)
+                  AS minidx,
+                MIN(cum) OVER (PARTITION BY user_id ORDER BY cum
+                               RANGE BETWEEN 200 PRECEDING AND CURRENT ROW)
+                  AS mincum
+         FROM c)
+       SELECT user_id, seq,
+              CASE WHEN cum <= 200 THEN 1
+                   WHEN minidx = seq THEN seq
+                   ELSE minidx + 1 END AS ctx_start,
+              seq - (CASE WHEN cum <= 200 THEN 1
+                          WHEN minidx = seq THEN seq
+                          ELSE minidx + 1 END) + 1 AS n_ctx,
+              CAST(CASE WHEN cum <= 200 THEN cum
+                        WHEN minidx = seq THEN tok
+                        ELSE cum - mincum END AS BIGINT) AS ctx_tokens,
+              (minidx = seq AND cum > 200) AS truncated
+       FROM m WHERE event_type = 'purchase'""",
+)
+def context_assembly_events(spark, sf_dir):
+    """Token-budget context assembly (operators/context.py): for every
+    'purchase' event, the maximal preceding event window whose weight sum
+    fits a budget of 200 — the SFT example-construction shape, run as two
+    window passes over ONE exchange instead of a per-entity loop or a
+    quadratic start-candidate self-join. Weight = floor(value)+1 (integer
+    >= 1 keeps the cumulative sum exact and strictly monotone, which both
+    makes the RANGE frame total and the oracle bit-identical)."""
+    from pyspark.sql.window import Window as W
+
+    from .operators.context import assemble_contexts
+
+    ev = t(spark, sf_dir, "events")
+    seq = F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    base = ev.select(
+        "user_id",
+        "event_type",
+        (F.floor("value").cast("long") + 1).alias("tok"),
+        seq.alias("seq"),
+    )
+    out = assemble_contexts(
+        base,
+        "user_id",
+        "seq",
+        "tok",
+        budget=200,
+        target=F.col("event_type") == "purchase",
+    )
+    return out.select(
+        "user_id", "seq", "ctx_start", "n_ctx", "ctx_tokens", "truncated"
+    )
+
+
 # shared CTE prefix for the two source-mixing oracles: per-doc whitespace
 # tokens, a weight derived from the source name (1 + src_index % 3), the
 # half-corpus token budget, and the weight normalizer
