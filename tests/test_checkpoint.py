@@ -228,3 +228,33 @@ def test_job_ingest_subcommand(spark, tmp_path, capsys):
     assert out3["appended"] == 0 and out3["corpus_rows"] == 3
     wh = ParquetWarehouse(wh_root)
     assert sorted(r["doc_id"] for r in wh.read(spark, "corpus").collect()) == [1, 2, 11]
+
+
+def test_job_compact_subcommand(spark, tmp_path, capsys):
+    """job.py compact: the operational maintenance pass — many small
+    appends collapse to one compact replace commit, --expire reclaims the
+    superseded dirs, rows and values unchanged."""
+    import json as _json
+    import os as _os
+
+    from watchman_spark.job import main as job_main
+    from watchman_spark.sources.warehouse import ParquetWarehouse
+
+    wh_root = str(tmp_path / "wh")
+    wh = ParquetWarehouse(wh_root)
+    for lo in range(0, 30, 5):
+        wh.write_append(
+            spark.range(lo, lo + 5).selectExpr("id AS k", "concat('v', id) AS v"),
+            "events",
+        )
+    rc = job_main(["compact", "--warehouse", wh_root, "--table", "events",
+                   "--target-partitions", "1", "--expire"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"table": "events", "commits_before": 6, "commit": 7,
+                   "rows": 30, "expired_dirs": 6}
+    got = {r["k"]: r["v"] for r in wh.read(spark, "events").collect()}
+    assert got == {k: f"v{k}" for k in range(30)}
+    # exactly one live data dir remains on disk after expiry
+    data_root = _os.path.join(wh_root, "events", "data")
+    assert len(_os.listdir(data_root)) == 1

@@ -71,6 +71,12 @@ class ParquetAdapter:
         orphan = os.path.join(self.wh._tdir(table), "data", "orphan-crashed")
         df.write.mode("overwrite").parquet(orphan)
 
+    def compact(self, table: str) -> None:
+        self.wh.compact(self.spark, table)
+
+    def merge_upsert(self, table: str, batch, keys: list[str]) -> None:
+        self.wh.merge_upsert(self.spark, table, batch, keys)
+
 
 class IcebergAdapter:
     """IcebergBackend narrowed to the same surface. Exercised only when an
@@ -117,6 +123,12 @@ class IcebergAdapter:
             .collect()[0]["data_type"]
         )
         df.write.mode("overwrite").parquet(os.path.join(loc, "data", "orphan-crashed"))
+
+    def compact(self, table: str) -> None:
+        self.be.compact(self.spark, table)
+
+    def merge_upsert(self, table: str, batch, keys: list[str]) -> None:
+        self.be.merge_upsert(self.spark, table, batch, keys)
 
 
 BACKENDS = [
@@ -237,3 +249,173 @@ def test_manifest_compaction_equivalence_and_rollback(spark, tmp_path):
     # appends continue cleanly after a rollback under compaction
     whs["compact"].write_append(_batch(spark, 100, 102), "t")
     assert whs["compact"].snapshot("t") == 9
+
+
+def _vals(df) -> dict:
+    return {r["k"]: r["v"] for r in df.select("k", "v").collect()}
+
+
+def test_compaction_contract(spark, be):
+    """Data-file compaction is invisible to every reader semantics: latest
+    read identical, time travel to pre-compaction snapshots intact, and an
+    incremental scan crossing the compaction returns exactly the rows
+    appended after it (the rewrite added none)."""
+    for lo in (0, 5, 9):
+        be.append(_batch(spark, lo, lo + 4), "t_comp")
+    pre = be.snapshots("t_comp")[-1]
+    expect = _vals(be.read("t_comp"))
+    be.compact("t_comp")
+    assert _vals(be.read("t_comp")) == expect
+    assert _vals(be.read("t_comp", snapshot=pre)) == expect
+    s_comp = be.snapshots("t_comp")[-1]
+    be.append(_batch(spark, 100, 103), "t_comp")
+    # crossing the (row-preserving) compaction: appends after `pre` only
+    assert _keys(be.read("t_comp", from_snapshot=pre)) == {100, 101, 102}
+    assert _keys(be.read("t_comp", from_snapshot=s_comp)) == {100, 101, 102}
+
+
+def test_merge_upsert_contract(spark, be):
+    """COW merge: matched keys take the batch's values, unmatched batch
+    rows insert, untouched rows survive verbatim."""
+    be.append(_batch(spark, 0, 6), "t_merge")
+    be.append(_batch(spark, 6, 10), "t_merge")
+    batch = spark.range(8, 13).select(
+        F.col("id").alias("k"), F.concat(F.lit("V"), F.col("id")).alias("v")
+    )
+    be.merge_upsert("t_merge", batch, ["k"])
+    got = _vals(be.read("t_merge"))
+    assert set(got) == set(range(13))
+    for k in range(8):
+        assert got[k] == f"v{k}", k  # untouched
+    for k in range(8, 13):
+        assert got[k] == f"V{k}", k  # updated (8,9) + inserted (10-12)
+
+
+def test_merge_pure_insert_is_append(spark, be):
+    """A batch with no key matches is a plain append: incremental
+    consumers see it like any other append."""
+    be.append(_batch(spark, 0, 4), "t_mins")
+    s1 = be.snapshots("t_mins")[-1]
+    be.merge_upsert("t_mins", _batch(spark, 50, 53), ["k"])
+    assert _keys(be.read("t_mins")) == set(range(4)) | {50, 51, 52}
+    assert _keys(be.read("t_mins", from_snapshot=s1)) == {50, 51, 52}
+
+
+# -- parquet-backend specifics of the rewrite path (file layout, guards,
+#    expiry) — below the contract because they assert on-disk structure the
+#    Iceberg runtime manages internally ------------------------------------
+
+
+def _data_dirs(wh: ParquetWarehouse, table: str) -> dict[int, str]:
+    return {c["id"]: c["data_dir"] for c in wh.commits(table)}
+
+
+def test_merge_rewrites_only_affected_dirs(spark, tmp_path):
+    """The COW locality property that makes merge affordable at scale:
+    dirs without a matched key are not rewritten (same files, same
+    mtimes); only the matched dirs are superseded."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.write_append(_batch(spark, 0, 5), "t")      # commit 1: keys 0-4
+    wh.write_append(_batch(spark, 5, 10), "t")     # commit 2: keys 5-9
+    wh.write_append(_batch(spark, 10, 15), "t")    # commit 3: keys 10-14
+    dirs = _data_dirs(wh, "t")
+
+    def files_of(cid):
+        root = os.path.join(wh.root, dirs[cid])
+        return sorted(
+            (os.path.join(b, n), os.path.getmtime(os.path.join(b, n)))
+            for b, _d, ns in os.walk(root)
+            for n in ns
+        )
+
+    before = {cid: files_of(cid) for cid in dirs}
+    batch = spark.range(6, 8).select(
+        F.col("id").alias("k"), F.lit("patched").alias("v")
+    )
+    meta = wh.merge_upsert(spark, "t", batch, ["k"])
+    assert meta["op"] == "replace"
+    assert meta["replaces"] == [2]  # only the commit holding keys 5-9
+    assert files_of(1) == before[1]
+    assert files_of(3) == before[3]
+    got = {r["k"]: r["v"] for r in wh.read(spark, "t").collect()}
+    assert got[6] == got[7] == "patched"
+    assert got[5] == "v5" and got[8] == "v8"  # survivors of the rewritten dir
+    assert wh.table_rows("t") == 15
+
+
+def test_merge_incremental_guard_and_rollback(spark, tmp_path):
+    """Incremental read across a row-changing replace raises (appends
+    alone misdescribe the change) unless the caller opts in; rolling the
+    merge commit back restores the pre-merge table."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.write_append(_batch(spark, 0, 6), "t")
+    s1 = wh.snapshot("t")
+    pre = {r["k"]: r["v"] for r in wh.read(spark, "t").collect()}
+    batch = spark.range(2, 4).select(
+        F.col("id").alias("k"), F.lit("new").alias("v")
+    )
+    merge_id = wh.merge_upsert(spark, "t", batch, ["k"])["id"]
+    with pytest.raises(ValueError, match="row-changing replace"):
+        wh.read(spark, "t", from_snapshot=s1)
+    # opt-in: the appends in range (none here — the merge is one replace,
+    # so the result is empty and needs the caller's schema like any empty
+    # incremental read)
+    from pyspark.sql.types import StructType
+
+    allowed = wh.read(
+        spark, "t", from_snapshot=s1, allow_replaces=True,
+        schema=StructType.fromDDL("k bigint, v string"),
+    )
+    assert allowed.count() == 0
+    wh.rollback_commit("t", merge_id)
+    assert {r["k"]: r["v"] for r in wh.read(spark, "t").collect()} == pre
+
+
+def test_merge_duplicate_key_guard(spark, tmp_path):
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    wh.write_append(_batch(spark, 0, 3), "t")
+    dup = _batch(spark, 1, 2).unionAll(_batch(spark, 1, 2))
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        wh.merge_upsert(spark, "t", dup, ["k"])
+
+
+def test_compact_reduces_files_and_expire_reclaims(spark, tmp_path):
+    """compact() actually shrinks the physical layout; expire_snapshots
+    deletes exactly the superseded dirs, after which the latest snapshot
+    still reads while expired time travel fails legibly."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    for lo in range(0, 40, 5):
+        wh.write_append(_batch(spark, lo, lo + 5).repartition(4), "t")
+    def n_files():
+        cs = wh._effective(wh.commits("t"))
+        return sum(
+            1
+            for c in cs
+            for _b, _d, ns in os.walk(os.path.join(wh.root, c["data_dir"]))
+            for n in ns
+            if n.endswith(".parquet")
+        )
+    files_before = n_files()
+    pre = wh.snapshot("t")
+    meta = wh.compact(spark, "t", target_partitions=2)
+    assert meta["rows"] == 40 and meta["rows_changed"] is False
+    assert n_files() <= 2 < files_before
+    assert wh.table_rows("t") == 40
+    # expire: superseded dirs go away, latest still reads, time travel raises
+    dead = wh.expire_snapshots("t", wh.snapshot("t"))
+    assert len(dead) == 8
+    assert _keys(wh.read(spark, "t")) == set(range(40))
+    with pytest.raises(FileNotFoundError, match="expired"):
+        wh.read(spark, "t", snapshot=pre)
+
+
+def test_compact_under_manifest_layout(spark, tmp_path):
+    """Replace commits fold identically when resolved through a manifest
+    checkpoint (manifest_every=1 forces one after every commit)."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"), manifest_every=1)
+    wh.write_append(_batch(spark, 0, 4), "t")
+    wh.write_append(_batch(spark, 4, 8), "t")
+    wh.compact(spark, "t")
+    wh.write_append(_batch(spark, 8, 11), "t")
+    assert _keys(wh.read(spark, "t")) == set(range(11))
+    assert [c["id"] for c in wh._effective(wh.commits("t"))] == [3, 4]

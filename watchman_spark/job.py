@@ -228,6 +228,35 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Small-file compaction as an operational job: rewrite a table's live
+    data dirs into one compact layout (replace commit; row count verified
+    from footers before the commit lands), optionally expiring superseded
+    snapshots afterward to reclaim the old dirs. At a production ingest
+    cadence this is the periodic maintenance pass that keeps scan file
+    counts flat no matter how many appends the log accumulates."""
+    spark = _session(args)
+    wh = ParquetWarehouse(args.warehouse)
+    before = len(wh._effective(wh.commits(args.table)))
+    meta = wh.compact(
+        spark,
+        args.table,
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
+        target_partitions=args.target_partitions,
+    )
+    expired = []
+    if args.expire:
+        expired = wh.expire_snapshots(args.table, meta["id"])
+    print(json.dumps({
+        "table": args.table,
+        "commits_before": before,
+        "commit": meta["id"],
+        "rows": meta["rows"],
+        "expired_dirs": len(expired),
+    }))
+    return 0
+
+
 def cmd_sql(args) -> int:
     from .sql import sql as run_sql
 
@@ -306,6 +335,19 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--n-centroids", type=int, default=16)
     pi.add_argument("--iters", type=int, default=1)
     pi.set_defaults(fn=cmd_index)
+
+    pc = sub.add_parser(
+        "compact", help="rewrite a table's small files into one compact layout"
+    )
+    pc.add_argument("--table", required=True)
+    pc.add_argument("--partition-by", default=None, dest="partition_by",
+                    help="comma-separated re-layout columns")
+    pc.add_argument("--target-partitions", type=int, default=None,
+                    dest="target_partitions")
+    pc.add_argument("--expire", action="store_true",
+                    help="reclaim superseded data dirs after compacting")
+    _add_common(pc)
+    pc.set_defaults(fn=cmd_compact)
 
     pq = sub.add_parser("sql", help="run Spark SQL over the warehouse tables")
     _add_common(pq)

@@ -62,6 +62,64 @@ def scan_snapshot_full(spark, sf_dir):
     return wh.read(spark, "events_snap").select("event_id", "event_type")
 
 
+def _wh_cow(spark, sf_dir: str) -> ParquetWarehouse:
+    """Warehouse exercising the REWRITE path (compaction + COW merge),
+    built once per sf_dir under its own root so the append-only queries
+    above keep their state: three modulo-3 appends of events, one
+    compaction (commit 4), one merge_upsert correcting event_type of the
+    event_id % 7 == 0 rows (commit 5). Every downstream read is therefore
+    derivable from the source events table in pure SQL — which is what
+    makes replace-commit semantics driver-oracled, not just pytest-ed."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    wh = ParquetWarehouse(f"/tmp/watchman_whq_cow_{tag}")
+    if not wh.commits("events_cow"):
+        ev = t(spark, sf_dir, "events").select("event_id", "event_type")
+        for m in range(3):
+            wh.write_append(ev.filter(F.col("event_id") % 3 == m), "events_cow")
+        wh.compact(spark, "events_cow")
+        batch = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+            "event_type", F.lit("corrected")
+        )
+        wh.merge_upsert(spark, "events_cow", batch, ["event_id"])
+    return wh
+
+
+@register(
+    "scan_compacted",
+    "SELECT event_id, event_type FROM events",
+)
+def scan_compacted(spark, sf_dir):
+    # snapshot 4 = the compaction replace commit: one rewritten dir that
+    # must equal the union of the three appends it superseded
+    wh = _wh_cow(spark, sf_dir)
+    return wh.read(spark, "events_cow", snapshot=4).select("event_id", "event_type")
+
+
+@register(
+    "scan_timetravel_precompact",
+    "SELECT event_id, event_type FROM events WHERE event_id % 3 = 0",
+)
+def scan_timetravel_precompact(spark, sf_dir):
+    # snapshot 1 predates the compaction: the original first append's dir
+    # is still live for time travel after the rewrite
+    wh = _wh_cow(spark, sf_dir)
+    return wh.read(spark, "events_cow", snapshot=1).select("event_id", "event_type")
+
+
+@register(
+    "scan_merged",
+    "SELECT event_id, "
+    "CASE WHEN event_id % 7 = 0 THEN 'corrected' ELSE event_type END "
+    "AS event_type FROM events",
+)
+def scan_merged(spark, sf_dir):
+    # latest snapshot = after the COW merge: matched keys carry the
+    # batch's corrected value, everything else is untouched — the CASE
+    # expression IS the merge semantics, so the oracle checks it row-wise
+    wh = _wh_cow(spark, sf_dir)
+    return wh.read(spark, "events_cow").select("event_id", "event_type")
+
+
 @register("udf_partition_ledger", None)  # rows-only: partition ids are physical
 def udf_partition_ledger(spark, sf_dir):
     """U5: per-partition lineage rows via mapInPandas + TaskContext — the

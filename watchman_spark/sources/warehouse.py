@@ -13,6 +13,17 @@ Commit protocol (the Iceberg property subset the pipeline relies on):
      <table>/_commits/<n>.json                        (atomic visibility)
 Readers list commit files <= snapshot and read exactly those data dirs.
 A crash between (1) and (2) leaves invisible garbage, never partial reads.
+
+REWRITE commits (the Iceberg rewrite/overwrite analogue): a commit may
+carry ``op: "replace"`` plus ``replaces: [ids]`` — its data dir supersedes
+those commits' dirs. Snapshot resolution folds the log ascending, so a
+snapshot taken BEFORE a replace still reads the original dirs (time
+travel survives compaction until expire_snapshots() reclaims them). Two
+operators produce replace commits: compact() (row-preserving small-file
+rewrite) and merge_upsert() (copy-on-write upsert of only the dirs that
+contain matched keys). Incremental scans return appends only and, like
+Iceberg's incremental append scan, refuse to silently jump over a
+row-CHANGING replace (merge) unless the caller opts in.
 """
 
 from __future__ import annotations
@@ -104,6 +115,23 @@ class ParquetWarehouse:
         """Latest commit id (0 if the table has no commits)."""
         cs = self.commits(table)
         return cs[-1]["id"] if cs else 0
+
+    @staticmethod
+    def _effective(commits: list[dict], snapshot: int | None = None) -> list[dict]:
+        """The commits whose data dirs are LIVE at ``snapshot``: fold the
+        log ascending, a replace commit retiring the ids it supersedes.
+        Commits written before the rewrite feature carry no ``op`` key and
+        fold as appends. O(n_commits) driver metadata work — the same cost
+        class as commits() itself."""
+        live: dict[int, dict] = {}
+        for c in commits:
+            if snapshot is not None and c["id"] > snapshot:
+                break
+            if c.get("op", "append") == "replace":
+                for rid in c.get("replaces", []):
+                    live.pop(rid, None)
+            live[c["id"]] = c
+        return [live[k] for k in sorted(live)]
 
     def _next_commit_id(self, table: str) -> int:
         return self.snapshot(table) + 1
@@ -226,7 +254,7 @@ class ParquetWarehouse:
     def read_arrow(self, table: str) -> pa.Table | None:
         """Driver-side snapshot read (small, unpartitioned tables only —
         the ledger and tiny aggregate partials). None if empty."""
-        cs = self.commits(table)
+        cs = self._effective(self.commits(table))
         if not cs:
             return None
         files: list[str] = []
@@ -321,6 +349,193 @@ class ParquetWarehouse:
             os.fsync(f.fileno())
         os.replace(tmp, mpath)
 
+    # -- rewrite ops (compaction / COW merge / snapshot expiry) ----------
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        schema: StructType | None = None,
+        partition_by: list[str] | None = None,
+        target_partitions: int | None = None,
+    ) -> dict:
+        """Small-file compaction (the Iceberg rewrite_data_files analogue):
+        rewrite every dir LIVE at the current snapshot into one freshly
+        laid-out dir and commit it as a row-preserving replace. At a
+        realistic ingest cadence (10^4-10^5 small appends) scan
+        performance decays with file count — open/footer cost per file,
+        tiny row groups defeating vectorized reads — and an appends-only
+        log can never heal that; this is the heal.
+
+        ``target_partitions`` coalesces the rewrite to that many output
+        files (the small-file dial); ``partition_by`` re-lays-out the data
+        (e.g. cluster a sink table by (sink, conv_bucket) after unaligned
+        appends). Row preservation is VERIFIED against commit metadata
+        from the written parquet footers before the commit is made — a
+        short rewrite aborts and leaves the old dirs live. Time travel to
+        pre-compaction snapshots keeps working (old dirs are retained
+        until expire_snapshots)."""
+        cs = self._effective(self.commits(table))
+        if not cs:
+            raise ValueError(f"compact: table {table!r} has no commits")
+        expected = sum(c["rows"] for c in cs)
+        df = self._read_commits(spark, table, cs, schema)
+        if target_partitions is not None:
+            df = df.coalesce(target_partitions)
+        token = uuid.uuid4().hex
+        data_dir = os.path.join(self._tdir(table), "data", token)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        rows = self._count_rows(data_dir)
+        if rows != expected:
+            raise RuntimeError(
+                f"compact aborted: rewrite of {table!r} produced {rows} rows, "
+                f"expected {expected}; old dirs remain live"
+            )
+        return self._write_commit(
+            table,
+            {
+                "op": "replace",
+                "replaces": [c["id"] for c in cs],
+                "rows_changed": False,
+                "data_dir": os.path.relpath(data_dir, self.root),
+                "rows": rows,
+                "partition_by": partition_by or [],
+                "lineage": {
+                    "compaction": {
+                        "commits_before": len(cs),
+                        "rows": rows,
+                    }
+                },
+            },
+        )
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        table: str,
+        batch: DataFrame,
+        keys: list[str],
+        schema: StructType | None = None,
+    ) -> dict:
+        """Copy-on-write MERGE (the Iceberg ``MERGE INTO`` analogue): rows
+        of ``batch`` whose ``keys`` match an existing row REPLACE it; the
+        rest are inserts. The late-correction path a log pipeline needs
+        when a turn is re-emitted with fixed text or a backfill lands.
+
+        Scale shape — rewrite ONLY the dirs that contain a matched key:
+        one semi-join of the live table against the (broadcast) distinct
+        batch keys, grouped by input_file_name(), finds the affected files
+        (a metadata-sized collect: file paths, not rows); unaffected dirs
+        are untouched on disk. The affected dirs' survivors (anti-join on
+        keys) plus the whole batch are written once and committed as ONE
+        atomic replace commit — a crash before the commit json leaves the
+        old snapshot fully live, never a half-merge (this is why it is one
+        commit, not a delete+append pair). At 10^12-turn scale the rewrite
+        cost is proportional to the data under matched keys' files, not to
+        the table — the same locality Iceberg's COW merge gets from file
+        pruning; clustering appends by the merge key (partition_by) is
+        what keeps affected-file counts low.
+
+        Incremental consumers: a merge is a row-changing replace, so
+        read(from_snapshot=...) across it raises by default (see read).
+        Returns the commit meta; pure-insert batches (no key matches)
+        commit as a plain append."""
+        live = self._effective(self.commits(table))
+        dup = (
+            batch.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "merge_upsert: batch has duplicate merge keys — the result "
+                "would be nondeterministic (same refusal as MERGE INTO on "
+                "multiple matches); dedup the batch first"
+            )
+        bkeys = batch.select(*keys).distinct()
+        if live:
+            tagged = self._read_commits(spark, table, live, schema).withColumn(
+                "__file", F.input_file_name()
+            )
+            hit_files = [
+                r["__file"]
+                for r in tagged.join(F.broadcast(bkeys), keys, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            ]
+        else:
+            hit_files = []
+        # map hit files back to the commits whose data dirs contain them
+        def _owns(c: dict, f: str) -> bool:
+            d = os.path.join(os.path.realpath(self.root), c["data_dir"])
+            return os.path.realpath(f[7:] if f.startswith("file:") else f).startswith(
+                d + os.sep
+            )
+
+        affected = [c for c in live if any(_owns(c, f) for f in hit_files)]
+        if not affected:
+            return self.write_append(
+                batch, table, lineage={"merge": {"matched_commits": 0}}
+            )
+        survivors = self._read_commits(spark, table, affected, schema).join(
+            F.broadcast(bkeys), keys, "left_anti"
+        )
+        merged = survivors.unionByName(batch.select(*survivors.columns))
+        token = uuid.uuid4().hex
+        data_dir = os.path.join(self._tdir(table), "data", token)
+        merged.write.mode("overwrite").parquet(data_dir)
+        rows = self._count_rows(data_dir)
+        replaced_rows = sum(c["rows"] for c in affected)
+        return self._write_commit(
+            table,
+            {
+                "op": "replace",
+                "replaces": [c["id"] for c in affected],
+                "rows_changed": True,
+                "data_dir": os.path.relpath(data_dir, self.root),
+                "rows": rows,
+                "partition_by": [],
+                "lineage": {
+                    "merge": {
+                        "keys": keys,
+                        "matched_commits": len(affected),
+                        "replaced_rows": replaced_rows,
+                        "rows_after": rows,
+                    }
+                },
+            },
+        )
+
+    def expire_snapshots(self, table: str, up_to: int) -> list[str]:
+        """Reclaim data dirs superseded at snapshot ``up_to`` (the Iceberg
+        expire_snapshots analogue): delete every dir referenced by commits
+        <= up_to that is NOT live at up_to. Time travel to snapshots that
+        needed those dirs stops working (read raises a legible
+        FileNotFoundError); snapshots >= up_to are untouched — later
+        commits only ever ADD dirs, so the live-at-up_to set understates
+        nothing. Returns the deleted dirs (relative paths)."""
+        import shutil
+
+        cs = self.commits(table)
+        keep = {
+            c["data_dir"] for c in self._effective(cs, up_to)
+        } | {c["data_dir"] for c in cs if c["id"] > up_to}
+        dead = [
+            c["data_dir"]
+            for c in cs
+            if c["id"] <= up_to and c["data_dir"] not in keep
+        ]
+        for rel in dead:
+            d = os.path.join(self.root, rel)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        return dead
+
     # -- read ------------------------------------------------------------
     def read(
         self,
@@ -329,16 +544,61 @@ class ParquetWarehouse:
         schema: StructType | None = None,
         snapshot: int | None = None,
         from_snapshot: int | None = None,
+        allow_replaces: bool = False,
     ) -> DataFrame:
-        """Snapshot read (commits <= snapshot); incremental read when
-        ``from_snapshot`` is given (commits in (from_snapshot, snapshot])
-        — the Iceberg incremental-scan analogue (SURVEY.md §2.1 S2)."""
+        """Snapshot read (the commits LIVE at ``snapshot`` — replace
+        commits supersede the dirs they rewrote, see _effective);
+        incremental read when ``from_snapshot`` is given: the APPEND
+        commits in (from_snapshot, snapshot] — the Iceberg
+        incremental-append-scan analogue (SURVEY.md §2.1 S2). A
+        row-preserving replace in that range (compaction) is skipped
+        silently — it added no rows — but a row-CHANGING replace (merge)
+        raises unless ``allow_replaces``: an appends-only consumer would
+        otherwise silently miss updates/deletes, the same refusal Iceberg's
+        incremental scan makes at an overwrite snapshot."""
         cs = self.commits(table)
-        if snapshot is not None:
-            cs = [c for c in cs if c["id"] <= snapshot]
         if from_snapshot is not None:
-            cs = [c for c in cs if c["id"] > from_snapshot]
+            in_range = [
+                c
+                for c in cs
+                if c["id"] > from_snapshot
+                and (snapshot is None or c["id"] <= snapshot)
+            ]
+            changing = [
+                c["id"]
+                for c in in_range
+                if c.get("op", "append") == "replace" and c.get("rows_changed", True)
+            ]
+            if changing and not allow_replaces:
+                raise ValueError(
+                    f"incremental read of {table!r} over row-changing replace "
+                    f"commit(s) {changing}: appended rows alone do not describe "
+                    "the change; pass allow_replaces=True to read the appends "
+                    "anyway, or re-read the full snapshot"
+                )
+            cs = [c for c in in_range if c.get("op", "append") == "append"]
+        else:
+            cs = self._effective(cs, snapshot)
+        return self._read_commits(spark, table, cs, schema)
+
+    def _read_commits(
+        self,
+        spark: SparkSession,
+        table: str,
+        cs: list[dict],
+        schema: StructType | None,
+    ) -> DataFrame:
+        """Read exactly these commits' data dirs (the tail of read(),
+        shared by compact/merge_upsert which resolve their own commit
+        subsets)."""
         dirs = [os.path.join(self.root, c["data_dir"]) for c in cs]
+        missing = [d for d in dirs if not os.path.isdir(d)]
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot of {table!r} references expired data dirs "
+                f"{missing[:3]}{'...' if len(missing) > 3 else ''}: this "
+                "snapshot predates an expire_snapshots() horizon"
+            )
         if not dirs:
             if schema is None:
                 raise ValueError(f"table {table!r} empty and no schema given")
@@ -371,8 +631,10 @@ class ParquetWarehouse:
         return out
 
     def table_rows(self, table: str) -> int:
-        """Total committed rows, from commit metadata only (no scan)."""
-        return sum(c["rows"] for c in self.commits(table))
+        """Total LIVE rows at the latest snapshot, from commit metadata
+        only (no scan) — replace commits count instead of the dirs they
+        retired."""
+        return sum(c["rows"] for c in self._effective(self.commits(table)))
 
 
 class IcebergBackend:
@@ -422,3 +684,33 @@ class IcebergBackend:
             "ORDER BY committed_at"
         ).collect()
         return [r["snapshot_id"] for r in rows]
+
+    def compact(self, spark: SparkSession, table: str, **_kw) -> None:
+        """Small-file rewrite via Iceberg's stored procedure (the engine
+        operation ParquetWarehouse.compact mirrors)."""
+        catalog = self.prefix.split(".", 1)[0]
+        spark.sql(
+            f"CALL {catalog}.system.rewrite_data_files(table => "
+            f"'{self.prefix}.{table}')"
+        )
+
+    def merge_upsert(
+        self, spark: SparkSession, table: str, batch: DataFrame, keys: list[str]
+    ) -> None:
+        """COW/MOR upsert via MERGE INTO (Iceberg picks the write mode
+        from table properties; semantics match ParquetWarehouse.merge_upsert)."""
+        batch.createOrReplaceTempView("__merge_batch")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        spark.sql(
+            f"MERGE INTO {self.prefix}.{table} t USING __merge_batch s "
+            f"ON {on} WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def expire_snapshots(self, spark: SparkSession, table: str, older_than_ms: int) -> None:
+        catalog = self.prefix.split(".", 1)[0]
+        spark.sql(
+            f"CALL {catalog}.system.expire_snapshots(table => "
+            f"'{self.prefix}.{table}', older_than => TIMESTAMP "
+            f"'{time.strftime('%Y-%m-%d %H:%M:%S', time.gmtime(older_than_ms / 1000))}')"
+        )
