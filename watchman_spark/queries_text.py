@@ -1345,3 +1345,114 @@ def multimodal_features(spark, sf_dir):
         ).alias("feat_norm"),
         F.to_json(F.slice("features", 1, 2)).alias("feat_head2"),
     )
+
+
+# -- distribution-drift monitoring (operators/drift.py) --------------------
+
+_DRIFT_BINS_SQL = """
+WITH ref AS (
+  SELECT CAST(floor(length(text) / 50) AS BIGINT) AS bucket, count(*) AS n
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+), cur AS (
+  SELECT CAST(floor(length(text) / 50) AS BIGINT) AS bucket, count(*) AS n
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+)
+SELECT COALESCE(ref.bucket, cur.bucket) AS bucket,
+       CAST(COALESCE(ref.n, 0) AS BIGINT) AS n_ref,
+       CAST(COALESCE(cur.n, 0) AS BIGINT) AS n_cur
+FROM ref FULL OUTER JOIN cur ON ref.bucket = cur.bucket
+"""
+
+
+def _drift_doclen_bins(spark, sf_dir):
+    from .operators import drift
+
+    docs = t(spark, sf_dir, "documents")
+    return drift.drift_bins(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        F.length("text"),
+        50,
+    )
+
+
+@register("drift_doclen_bins", _DRIFT_BINS_SQL)
+def drift_doclen_bins(spark, sf_dir):
+    """Per-bucket histogram comparison of text length between the two
+    doc_id-parity slices — the bin table a drift monitor renders. Two
+    partial-agg exchanges (each side collapses map-side to n_buckets
+    rows) + one tiny full-outer join."""
+    return _drift_doclen_bins(spark, sf_dir)
+
+
+@register(
+    "drift_doclen_tv",
+    f"""
+WITH bins AS ({_DRIFT_BINS_SQL}),
+tot AS (SELECT SUM(n_ref) AS N, SUM(n_cur) AS M FROM bins),
+s AS (
+  SELECT CAST(SUM(ABS(n_ref * M - n_cur * N)) AS BIGINT) AS tv_num,
+         CAST(ANY_VALUE(N) AS BIGINT) AS N, CAST(ANY_VALUE(M) AS BIGINT) AS M
+  FROM bins, tot
+)
+SELECT tv_num, N AS n_ref_total, M AS n_cur_total,
+       ((tv_num * 1000000 - (tv_num * 1000000) % (2 * N * M))
+        / (2 * N * M)) / 1000000.0 AS tv
+FROM s
+""",
+)
+def drift_doclen_tv(spark, sf_dir):
+    """Total-variation distance between the slices' length distributions
+    — the drift statistic itself, computed in exact integer arithmetic
+    (Σ|n_i·M − m_i·N| then one floor-division) so the oracle matches
+    bit-for-bit; see operators/drift.py for why TV is the portable
+    headline metric and PSI the pytest-pinned twin."""
+    from .operators import drift
+
+    return drift.total_variation(_drift_doclen_bins(spark, sf_dir))
+
+
+# -- BM25 keyword retrieval (operators/retrieval.py) -----------------------
+
+_BM25_TERMS = ["hash", "vector", "stream", "merge"]
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM toks WHERE term IN ('hash', 'vector', 'stream', 'merge')
+  GROUP BY 1, 2, 3
+), corpus AS (
+  SELECT count(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS total_toks
+  FROM documents
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75
+                   * (dl * n_docs / total_toks))), 4) AS s
+  FROM tf, dft, corpus WHERE tf.term = dft.term
+)
+SELECT doc_id, round(SUM(s), 4) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+)
+def text_bm25_topk(spark, sf_dir):
+    """Top-10 documents by BM25 for a 4-term keyword query — corpus
+    retrieval as one DataFrame plan: term-filtered explode → (doc, term)
+    tf exchange, broadcast df/corpus stats back, TakeOrderedAndProject
+    for the top-k. The oracle mirrors the exact expression tree
+    (operators/retrieval.py docstring covers the float discipline)."""
+    from .operators.retrieval import bm25_topk
+
+    return bm25_topk(t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
