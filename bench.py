@@ -66,6 +66,9 @@ HEADLINE = [
     "session_stats_events",
     "mix_token_budget_sampled",
     "ann_quantized_topk",
+    # round-5 second wave: corpus retrieval + drift monitoring
+    "text_bm25_topk",
+    "drift_doclen_tv",
 ]
 
 

@@ -327,3 +327,92 @@ def test_alert_error_rate_stream_equals_batch(spark, tmp_path_factory):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def _doc_files(spark, d: str) -> None:
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    spark.createDataFrame(
+        [(1, base), (2, "completely different content about query engines")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(f"{d}/f1")
+    spark.createDataFrame(
+        [(10, base.replace("lazy", "sleepy")),  # near-dup of doc 1 (epoch 0)
+         (11, "fresh novel text with words never seen in earlier batches")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(f"{d}/f2")
+
+
+def test_ingest_stream_matches_batch_loop(spark, tmp_path_factory):
+    """Streaming near-dup ingestion: epoch 1's near-dup of an epoch-0 doc
+    is dropped via the warehouse signature ledger (no stream state store),
+    matching the batch ingest loop's result on the same files."""
+    import glob
+    import shutil
+
+    from watchman_spark.streaming.stream import ingest_stream
+
+    src = str(tmp_path_factory.mktemp("ingest_src"))
+    _doc_files(spark, src)
+    # one flat dir of parquet files, one file per trigger => 2 epochs
+    flat = str(tmp_path_factory.mktemp("ingest_flat"))
+    for i, f in enumerate(sorted(glob.glob(f"{src}/f*/part-*.parquet"))):
+        shutil.copy(f, f"{flat}/{i:02d}.parquet")
+    root = str(tmp_path_factory.mktemp("ingest_wh"))
+    ck = str(tmp_path_factory.mktemp("ingest_ck"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    q = ingest_stream(
+        spark, stream, root, run_id="ing-1", checkpoint_dir=ck,
+        trigger_once=True, k=3, threshold=0.5,
+    )
+    q.awaitTermination(300)
+    wh = ParquetWarehouse(root)
+    assert sorted(r["doc_id"] for r in wh.read(spark, "corpus").collect()) == [1, 2, 11]
+    assert wh.table_rows("corpus_sig_ledger") == 3
+    # replay the whole stream under the same run_id from a FRESH checkpoint
+    # (same epochs, same content): complete no-op
+    ck2 = str(tmp_path_factory.mktemp("ingest_ck2"))
+    q2 = ingest_stream(
+        spark, stream, root, run_id="ing-1", checkpoint_dir=ck2,
+        trigger_once=True, k=3, threshold=0.5,
+    )
+    q2.awaitTermination(300)
+    assert wh.table_rows("corpus") == 3
+    assert wh.table_rows("corpus_sig_ledger") == 3
+
+
+def test_ingest_batch_crash_between_appends_reconciles(spark, tmp_path_factory):
+    """Crash AFTER the corpus append but BEFORE the ledger append: the
+    epoch replay must not re-dedup the batch (its docs are now in the
+    corpus — a redo would drop them against their own signatures); it
+    recomputes the committed commit's signatures and completes the ledger.
+    A second replay is then a full no-op."""
+    from watchman_spark.streaming.stream import ingest_batch
+
+    root = str(tmp_path_factory.mktemp("reconcile_wh"))
+    wh = ParquetWarehouse(root)
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    # simulate the half-committed state: corpus commit with this epoch's
+    # lineage exists, ledger commit does not
+    wh.write_append(batch, "corpus", lineage={"run_id": "r", "epoch": 0})
+    out = ingest_batch(spark, wh, batch, 0, "r", k=3, threshold=0.5)
+    assert out["reconciled"] is True
+    assert wh.table_rows("corpus") == 2
+    assert wh.table_rows("corpus_sig_ledger") == 2
+    # signatures must match what a clean ingest would have written: a
+    # near-dup of doc 1 in the NEXT epoch is dropped through them
+    nxt = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon eta")], ["doc_id", "text"]
+    )
+    out2 = ingest_batch(spark, wh, nxt, 1, "r", k=3, threshold=0.5)
+    assert out2 == {"appended": 0, "dropped": 1, "reconciled": False}
+    # full replay of epoch 0: no-op
+    out3 = ingest_batch(spark, wh, batch, 0, "r", k=3, threshold=0.5)
+    assert out3 == {"appended": 0, "dropped": 0, "reconciled": False}
+    assert wh.table_rows("corpus") == 2 and wh.table_rows("corpus_sig_ledger") == 2

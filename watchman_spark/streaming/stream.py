@@ -254,3 +254,129 @@ def late_data_audit(
     aggs; this parallel un-watermarked count-by-window makes the loss
     auditable (compare totals against the watermarked T2 output)."""
     return stream.groupBy(F.window("ts", window)).agg(F.count(F.lit(1)).alias("n_all"))
+
+
+def _ledger_schema(batch_df: DataFrame, id_col: str):
+    from pyspark.sql.types import StructType
+
+    id_type = batch_df.schema[id_col].dataType.simpleString()
+    return StructType.fromDDL(f"id {id_type}, sig array<bigint>")
+
+
+def ingest_batch(
+    spark: SparkSession,
+    wh: ParquetWarehouse,
+    batch_df: DataFrame,
+    epoch_id: int,
+    run_id: str,
+    corpus_table: str = "corpus",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **dedup_kw,
+) -> dict:
+    """One micro-batch of STREAMING near-dup corpus ingestion: the
+    foreachBatch body composing dedup_ingest_neardup (dedup.py) with the
+    router's exactly-once commit discipline (route_batch).
+
+    Exactly-once across the TWO appends an ingest makes (survivors →
+    corpus, their signatures → ledger): the corpus append carries
+    (run_id, epoch) lineage and lands FIRST. On epoch replay:
+
+    - neither committed → full redo (crash before any commit lost nothing);
+    - corpus committed, ledger missing (crash between the appends) →
+      RECONCILE: recompute signatures for exactly the committed corpus
+      commit's rows (an incremental read of that one commit — the batch
+      is NOT re-deduped, because its docs now partially exist in the
+      corpus and a redo would wrongly drop them) and append those;
+    - both committed → complete no-op (the batch is still count()-ed so
+      the streaming engine sees the epoch consumed, same reason as
+      route_batch).
+
+    The ledger-first order would be WORSE than this: replaying after a
+    crash between appends would find every batch doc exact-matching its
+    own ledger signature and drop the whole batch from the corpus.
+
+    Returns {"appended": n, "dropped": n, "reconciled": bool}.
+    """
+    from ..operators.dedup import dedup_ingest_neardup, minhash_signatures
+
+    ledger_table = f"{corpus_table}_sig_ledger"
+    mine = {
+        c["id"]: c
+        for c in wh.commits(corpus_table)
+        if c.get("lineage", {}).get("run_id") == run_id
+        and c.get("lineage", {}).get("epoch") == epoch_id
+    }
+    ledger_done = any(
+        c.get("lineage", {}).get("run_id") == run_id
+        and c.get("lineage", {}).get("epoch") == epoch_id
+        for c in wh.commits(ledger_table)
+    )
+    if mine and ledger_done:
+        batch_df.count()  # consume the epoch for the commit tracker
+        return {"appended": 0, "dropped": 0, "reconciled": False}
+    if mine and not ledger_done:
+        cid = max(mine)
+        committed_rows = wh.read(
+            spark, corpus_table, snapshot=cid, from_snapshot=cid - 1
+        )
+        sigs = minhash_signatures(
+            committed_rows, id_col, text_col,
+            k=dedup_kw.get("k", 5), n_hashes=dedup_kw.get("n_hashes", 32),
+            portable=dedup_kw.get("portable", False),
+        )
+        wh.write_append(
+            sigs, ledger_table, lineage={"run_id": run_id, "epoch": epoch_id}
+        )
+        batch_df.count()
+        return {"appended": 0, "dropped": 0, "reconciled": True}
+    ledger = wh.read(spark, ledger_table, schema=_ledger_schema(batch_df, id_col))
+    survivors, sigs = dedup_ingest_neardup(
+        batch_df, ledger, id_col=id_col, text_col=text_col, **dedup_kw
+    )
+    lineage = {"run_id": run_id, "epoch": epoch_id}
+    meta = wh.write_append(survivors, corpus_table, lineage=lineage)
+    wh.write_append(sigs, ledger_table, lineage=lineage)
+    n_batch = batch_df.count()
+    return {
+        "appended": meta["rows"],
+        "dropped": n_batch - meta["rows"],
+        "reconciled": False,
+    }
+
+
+def ingest_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    warehouse_root: str,
+    run_id: str,
+    corpus_table: str = "corpus",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+    **dedup_kw,
+):
+    """Streaming near-dup corpus ingestion: each micro-batch is LSH-joined
+    against the committed signature ledger (+ itself), survivors append to
+    the corpus, their signatures to the ledger — the streaming twin of
+    job.py's ingest subcommand, exactly-once per epoch (see ingest_batch).
+    foreachBatch runs epochs serially, so epoch N+1 always sees epoch N's
+    ledger appends — cross-epoch near-dups are dropped without any stream
+    state store (the warehouse ledger IS the state, which is what lets a
+    10^12-doc corpus's dedup state live in tables instead of RocksDB)."""
+    wh = ParquetWarehouse(warehouse_root)
+
+    def _on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_batch(
+            spark, wh, batch_df, epoch_id, run_id,
+            corpus_table=corpus_table, id_col=id_col, text_col=text_col,
+            **dedup_kw,
+        )
+
+    writer = stream.writeStream.foreachBatch(_on_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
