@@ -419,3 +419,39 @@ def test_compact_under_manifest_layout(spark, tmp_path):
     wh.write_append(_batch(spark, 8, 11), "t")
     assert _keys(wh.read(spark, "t")) == set(range(11))
     assert [c["id"] for c in wh._effective(wh.commits("t"))] == [3, 4]
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg-parity schema evolution (add column): commits written
+    before a column existed read back with NULL for it when the caller
+    declares the evolved schema — both in the flat-dir read path and the
+    per-dir union path (partitioned commits), and through a compaction
+    that rewrites old and new layouts into one."""
+    from pyspark.sql.types import StructType
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    old = spark.range(0, 3).selectExpr("id AS k", "concat('v', id) AS v")
+    wh.write_append(old, "t")
+    new = spark.range(3, 6).selectExpr(
+        "id AS k", "concat('v', id) AS v", "CAST(id * 10 AS BIGINT) AS score"
+    )
+    wh.write_append(new, "t")
+    evolved = StructType.fromDDL("k bigint, v string, score bigint")
+    got = {r["k"]: r["score"] for r in wh.read(spark, "t", schema=evolved).collect()}
+    assert got == {0: None, 1: None, 2: None, 3: 30, 4: 40, 5: 50}
+    # compaction unifies the physical layouts; the evolved schema remains
+    wh.compact(spark, "t", schema=evolved)
+    got2 = {r["k"]: r["score"] for r in wh.read(spark, "t", schema=evolved).collect()}
+    assert got2 == got
+    # partitioned-commit path: same nulls through the per-dir union
+    wh2 = ParquetWarehouse(str(tmp_path / "wh2"))
+    wh2.write_append(old.withColumn("p", F.lit("a")), "t", partition_by=["p"])
+    wh2.write_append(
+        new.withColumn("p", F.lit("b")), "t", partition_by=["p"]
+    )
+    evolved_p = StructType.fromDDL("k bigint, v string, score bigint, p string")
+    got3 = {
+        r["k"]: r["score"]
+        for r in wh2.read(spark, "t", schema=evolved_p).collect()
+    }
+    assert got3 == got
