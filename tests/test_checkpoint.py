@@ -258,3 +258,47 @@ def test_job_compact_subcommand(spark, tmp_path, capsys):
     # exactly one live data dir remains on disk after expiry
     data_root = _os.path.join(wh_root, "events", "data")
     assert len(_os.listdir(data_root)) == 1
+
+
+def test_job_drift_subcommand(spark, tmp_path, capsys):
+    """job.py drift: a same-shaped ingest batch passes (exit 0, low TV);
+    a degenerate batch (every doc truncated) alerts (exit 1)."""
+    import json as _json
+
+    from watchman_spark.job import main as job_main
+    from watchman_spark.sources.warehouse import ParquetWarehouse
+
+    wh_root = str(tmp_path / "wh")
+    wh = ParquetWarehouse(wh_root)
+    long_doc = "word " * 60
+    wh.write_append(
+        spark.createDataFrame(
+            [(i, long_doc + f"doc{i}") for i in range(40)], ["doc_id", "text"]
+        ),
+        "corpus",
+    )
+    # healthy batch: same length profile -> no alert
+    wh.write_append(
+        spark.createDataFrame(
+            [(100 + i, long_doc + f"new{i}") for i in range(10)],
+            ["doc_id", "text"],
+        ),
+        "corpus",
+    )
+    rc = job_main(["drift", "--warehouse", wh_root, "--table", "corpus",
+                   "--column", "text"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["alert"] is False and out["tv"] < 0.25
+    assert out["n_ref"] == 40 and out["n_cur"] == 10
+    # degenerate batch: everything truncated -> full-mass shift, exit 1
+    wh.write_append(
+        spark.createDataFrame(
+            [(200 + i, "short") for i in range(10)], ["doc_id", "text"]
+        ),
+        "corpus",
+    )
+    rc2 = job_main(["drift", "--warehouse", wh_root, "--table", "corpus",
+                    "--column", "text"])
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 1 and out2["alert"] is True and out2["tv"] == 1.0
+    assert out2["n_ref"] == 50 and out2["n_cur"] == 10

@@ -228,6 +228,54 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_drift(args) -> int:
+    """Distribution-drift monitor as an operational job: compare the rows
+    appended after --from-snapshot (default: the newest commit) against
+    the corpus as of that snapshot on one column's distribution. String
+    columns are compared by length. Prints TV distance + PSI and exits 1
+    when TV >= --threshold — the ingest-loop gate that catches a bad
+    upstream batch (truncated docs, a source gone degenerate) before it
+    pollutes the corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    from .operators import drift
+
+    spark = _session(args)
+    wh = ParquetWarehouse(args.warehouse)
+    snap = wh.snapshot(args.table)
+    frm = args.from_snapshot if args.from_snapshot is not None else snap - 1
+    if frm < 1 or snap <= frm:
+        # first ingest (no reference) or nothing new: nothing to compare —
+        # a monitor must say so, not crash on an empty snapshot read
+        print(json.dumps({
+            "table": args.table, "ref_snapshot": frm, "cur_snapshot": snap,
+            "alert": False, "note": "no reference/current slice to compare",
+        }))
+        return 0
+    ref = wh.read(spark, args.table, snapshot=frm)
+    cur = wh.read(spark, args.table, snapshot=snap, from_snapshot=frm)
+    col = F.col(args.column)
+    if isinstance(ref.schema[args.column].dataType, StringType):
+        col = F.length(col)
+    bins = drift.drift_bins(ref, cur, col, args.bin_width)
+    tv_row = drift.total_variation(bins).collect()[0]
+    psi_val = drift.psi(bins).collect()[0]["psi"]
+    out = {
+        "table": args.table,
+        "column": args.column,
+        "ref_snapshot": frm,
+        "cur_snapshot": snap,
+        "n_ref": tv_row["n_ref_total"],
+        "n_cur": tv_row["n_cur_total"],
+        "tv": tv_row["tv"],
+        "psi": round(psi_val, 6),
+        "alert": bool(tv_row["tv"] >= args.threshold),
+    }
+    print(json.dumps(out))
+    return 1 if out["alert"] else 0
+
+
 def cmd_compact(args) -> int:
     """Small-file compaction as an operational job: rewrite a table's live
     data dirs into one compact layout (replace commit; row count verified
@@ -335,6 +383,20 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--n-centroids", type=int, default=16)
     pi.add_argument("--iters", type=int, default=1)
     pi.set_defaults(fn=cmd_index)
+
+    pdr = sub.add_parser(
+        "drift", help="distribution drift of new commits vs the prior corpus"
+    )
+    pdr.add_argument("--table", required=True)
+    pdr.add_argument("--column", required=True,
+                     help="numeric column, or string column (compared by length)")
+    pdr.add_argument("--from-snapshot", type=int, default=None,
+                     dest="from_snapshot")
+    pdr.add_argument("--bin-width", type=int, default=50, dest="bin_width")
+    pdr.add_argument("--threshold", type=float, default=0.25,
+                     help="TV distance at or above this exits 1")
+    _add_common(pdr)
+    pdr.set_defaults(fn=cmd_drift)
 
     pc = sub.add_parser(
         "compact", help="rewrite a table's small files into one compact layout"
