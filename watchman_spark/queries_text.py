@@ -1456,3 +1456,42 @@ def text_bm25_topk(spark, sf_dir):
     from .operators.retrieval import bm25_topk
 
     return bm25_topk(t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+@register(
+    "events_transition_matrix",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+         FROM events),
+       pairs AS (
+         SELECT prev AS prev_type, event_type, count(*) AS n
+         FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+       SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+              ((n * 10000) // CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT))
+                / 10000.0 AS p
+       FROM pairs""",
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order transition matrix over per-user event sequences: counts
+    and row-normalized probabilities of event_type -> next event_type —
+    the sequence-mining summary behind funnel/loop analysis of agent
+    behavior (which action follows which). One lag window keyed user_id,
+    then a pair group-by; the per-prev normalization is a window over the
+    TINY pair table (|types|² rows), not the events. Probabilities use
+    the integer-division trick for a bit-identical oracle."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    pairs = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("prev_type"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("prev_type")).cast("long")
+    p = ((F.col("n") * 10000) - F.pmod(F.col("n") * 10000, tot)) / tot / F.lit(10000.0)
+    return pairs.select("prev_type", "event_type", F.col("n").cast("long").alias("n"), p.alias("p"))
