@@ -175,3 +175,63 @@ def test_ngram_jaccard_matches_python_reference(spark, docs, k):
             if a and b and inter:  # candidates share >= 1 shingle
                 want[(i, j)] = round(inter / len(a | b), 4)
     assert got == want
+
+
+# -- model-based property: the rewrite commit fold ---------------------------
+# Random interleavings of append / merge_upsert / compact must always agree
+# with a plain python-dict model of the table (key -> value), and commit
+# metadata must keep table_rows() exact. This is the property that makes
+# replace commits trustworthy: no sequence of rewrites may lose, duplicate,
+# or resurrect a row.
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(2, 5)),
+        st.tuples(st.just("merge"), st.integers(1, 4)),
+        st.tuples(st.just("compact"), st.just(0)),
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@given(ops=_ops)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rewrite_fold_matches_model(spark, tmp_path_factory, ops):
+    from watchman_spark.sources.warehouse import ParquetWarehouse
+
+    wh = ParquetWarehouse(str(tmp_path_factory.mktemp("prop_wh")))
+    model: dict[int, str] = {}
+    next_k = 0
+    version = 0
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k bigint, v string")
+
+    for op, arg in ops:
+        version += 1
+        if op == "append":
+            rows = [(next_k + i, f"v{version}.{next_k + i}") for i in range(arg)]
+            next_k += arg
+            wh.write_append(df_of(rows), "t")
+            model.update(dict(rows))
+        elif op == "merge":
+            # update up to `arg` existing keys (deterministic pick: the
+            # lowest ones) and insert one new key
+            upd = sorted(model)[:arg]
+            rows = [(k, f"m{version}.{k}") for k in upd]
+            rows.append((next_k, f"m{version}.{next_k}"))
+            next_k += 1
+            wh.merge_upsert(spark, "t", df_of(rows), ["k"])
+            model.update(dict(rows))
+        else:  # compact
+            if not wh.commits("t"):
+                continue
+            wh.compact(spark, "t")
+    if not wh.commits("t"):
+        assert model == {}
+        return
+    got = {r["k"]: r["v"] for r in wh.read(spark, "t").collect()}
+    assert got == model
+    assert wh.table_rows("t") == len(model)
