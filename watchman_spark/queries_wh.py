@@ -70,9 +70,18 @@ def _wh_cow(spark, sf_dir: str) -> ParquetWarehouse:
     event_id % 7 == 0 rows (commit 5). Every downstream read is therefore
     derivable from the source events table in pure SQL — which is what
     makes replace-commit semantics driver-oracled, not just pytest-ed."""
+    import shutil
+
     tag = sf_dir.strip("/").replace("/", "_")
-    wh = ParquetWarehouse(f"/tmp/watchman_whq_cow_{tag}")
-    if not wh.commits("events_cow"):
+    root = f"/tmp/watchman_whq_cow_{tag}"
+    wh = ParquetWarehouse(root)
+    done = os.path.join(root, "_build_done")
+    if not os.path.exists(done):
+        # a crash mid-build would otherwise leave a half-built warehouse
+        # that the commits()-presence guard wrongly treats as complete —
+        # rebuild from scratch unless the completion marker exists
+        shutil.rmtree(root, ignore_errors=True)
+        wh = ParquetWarehouse(root)
         ev = t(spark, sf_dir, "events").select("event_id", "event_type")
         for m in range(3):
             wh.write_append(ev.filter(F.col("event_id") % 3 == m), "events_cow")
@@ -81,6 +90,8 @@ def _wh_cow(spark, sf_dir: str) -> ParquetWarehouse:
             "event_type", F.lit("corrected")
         )
         wh.merge_upsert(spark, "events_cow", batch, ["event_id"])
+        with open(done, "w") as f:
+            f.write("ok")
     return wh
 
 
