@@ -19,14 +19,23 @@ from .sources.warehouse import ParquetWarehouse
 
 
 def _wh(spark, sf_dir: str) -> ParquetWarehouse:
+    import shutil
+
     tag = sf_dir.strip("/").replace("/", "_")
     root = f"/tmp/watchman_whq_{tag}"
     wh = ParquetWarehouse(root)
-    if not wh.commits("events_snap"):
+    done = os.path.join(root, "_build_done")
+    if not os.path.exists(done):
+        # completion marker, not commits() presence: a crash between the
+        # two appends must not leave a half-built cache behind
+        shutil.rmtree(root, ignore_errors=True)
+        wh = ParquetWarehouse(root)
         ev = t(spark, sf_dir, "events")
         # two commits: even event_ids, then odd — snapshot 1 sees half
         wh.write_append(ev.filter(F.col("event_id") % 2 == 0), "events_snap")
         wh.write_append(ev.filter(F.col("event_id") % 2 == 1), "events_snap")
+        with open(done, "w") as f:
+            f.write("ok")
     return wh
 
 
