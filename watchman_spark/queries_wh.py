@@ -140,6 +140,52 @@ def scan_merged(spark, sf_dir):
     return wh.read(spark, "events_cow").select("event_id", "event_type")
 
 
+def _wh_stats(spark, sf_dir: str) -> ParquetWarehouse:
+    """Warehouse exercising METADATA FILE SKIPPING (the Iceberg
+    manifest-bounds scan-planning analogue): one commit per event_type,
+    each append recording per-file min/max bounds for (event_type, ts)
+    via ``stats_cols``. A pruned read over one type must then plan files
+    from exactly one of the five commits — pinned by
+    tests/test_pruning.py::test_registry_warehouse_prunes_commits — while
+    the result stays row-identical to a plain filtered scan (the oracle
+    below)."""
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"/tmp/watchman_whq_stats_{tag}"
+    wh = ParquetWarehouse(root)
+    done = os.path.join(root, "_build_done")
+    if not os.path.exists(done):
+        # completion marker: a crash mid-build must not leave a partial
+        # warehouse that later calls mistake for complete
+        shutil.rmtree(root, ignore_errors=True)
+        wh = ParquetWarehouse(root)
+        ev = t(spark, sf_dir, "events")
+        for etype in ["click", "error", "purchase", "signup", "view"]:
+            wh.write_append(
+                ev.filter(F.col("event_type") == etype),
+                "events_stats",
+                stats_cols=["event_type", "ts"],
+            )
+        with open(done, "w") as f:
+            f.write("ok")
+    return wh
+
+
+@register(
+    "scan_pruned",
+    "SELECT event_id, event_type FROM events WHERE event_type = 'error'",
+)
+def scan_pruned(spark, sf_dir):
+    # file-skipping snapshot read: the planner keeps only files whose
+    # recorded [min,max] of event_type can contain 'error' (one commit of
+    # five), then re-applies the predicate — result == filtered full scan
+    wh = _wh_stats(spark, sf_dir)
+    return wh.read_pruned(
+        spark, "events_stats", "event_type", lo="error", hi="error"
+    ).select("event_id", "event_type")
+
+
 @register("udf_partition_ledger", None)  # rows-only: partition ids are physical
 def udf_partition_ledger(spark, sf_dir):
     """U5: per-partition lineage rows via mapInPandas + TaskContext — the

@@ -27,6 +27,12 @@ _DEFAULTS = {
     # so fewer/larger batches win.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "32768",
     "spark.sql.parquet.compression.codec": "snappy",
+    # INT64 micros, not Spark's legacy INT96: INT96 timestamps carry no
+    # parquet min/max statistics, which silently disables row-group
+    # predicate pushdown AND the warehouse's footer-bounds file skipping
+    # (read_pruned) on every ts-ranged scan. Iceberg mandates INT64
+    # timestamps too, so this also matches the real-backend layout.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Speculative execution stays OFF: duplicate task attempts plus
     # side-effecting sink writes would break exact per-sink counts
     # (BASELINE.json:2); idempotence comes from the commit log instead.

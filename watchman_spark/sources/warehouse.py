@@ -47,6 +47,28 @@ _COMMIT_RE = re.compile(r"^(\d{8})\.json$")
 _MANIFEST_RE = re.compile(r"^manifest-(\d{8})\.json$")
 
 
+def _norm_stat(v):
+    """Normalize a parquet-footer statistic (or a user-supplied pruning
+    bound) into a JSON-storable, total-ordered value so plan-time
+    comparisons are type-stable: datetimes -> epoch seconds (float),
+    dates -> ISO string, bytes -> str. Ints/floats/strings pass through.
+    Both sides of every comparison go through this, so the ordering is
+    consistent by construction."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return v.timestamp()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "surrogateescape")
+    return v
+
+
 class ParquetWarehouse:
     """See module docstring for the commit protocol. Snapshot resolution is
     kept O(tail) by MANIFEST COMPACTION (the Iceberg manifest-list
@@ -174,10 +196,15 @@ class ParquetWarehouse:
         table: str,
         partition_by: list[str] | None = None,
         lineage: dict | None = None,
+        stats_cols: list[str] | None = None,
     ) -> dict:
         """Stage parquet files, then atomically commit. Returns commit meta.
 
         Row count comes from parquet footers (no second Spark job).
+        ``stats_cols`` additionally records per-FILE min/max bounds of
+        those columns in the commit metadata (file_bounds), enabling
+        metadata-only file skipping via read_pruned() — one extra footer
+        pass over the just-written files, no data scan.
         """
         token = uuid.uuid4().hex
         data_dir = os.path.join(self._tdir(table), "data", token)
@@ -186,15 +213,18 @@ class ParquetWarehouse:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
         rows = self._count_rows(data_dir)
-        return self._write_commit(
-            table,
-            {
-                "data_dir": os.path.relpath(data_dir, self.root),
-                "rows": rows,
-                "partition_by": partition_by or [],
-                "lineage": lineage or {},
-            },
-        )
+        meta = {
+            "data_dir": os.path.relpath(data_dir, self.root),
+            "rows": rows,
+            "partition_by": partition_by or [],
+            "lineage": lineage or {},
+        }
+        if stats_cols:
+            meta["file_stats"] = {
+                "cols": list(stats_cols),
+                "files": self.file_bounds(data_dir, list(stats_cols)),
+            }
+        return self._write_commit(table, meta)
 
     def commit_existing(
         self,
@@ -203,6 +233,7 @@ class ParquetWarehouse:
         rows: int | None = None,
         partition_by: list[str] | None = None,
         lineage: dict | None = None,
+        stats_cols: list[str] | None = None,
     ) -> dict:
         """Atomically commit an already-staged directory (single-pass
         multi-sink fan-out: one partitionBy("sink", ...) write produces one
@@ -220,15 +251,18 @@ class ParquetWarehouse:
         os.replace(data_dir, dest)
         if rows is None:
             rows = self._count_rows(dest)
-        return self._write_commit(
-            table,
-            {
-                "data_dir": os.path.relpath(dest, self.root),
-                "rows": rows,
-                "partition_by": partition_by or [],
-                "lineage": lineage or {},
-            },
-        )
+        meta = {
+            "data_dir": os.path.relpath(dest, self.root),
+            "rows": rows,
+            "partition_by": partition_by or [],
+            "lineage": lineage or {},
+        }
+        if stats_cols:
+            meta["file_stats"] = {
+                "cols": list(stats_cols),
+                "files": self.file_bounds(dest, list(stats_cols)),
+            }
+        return self._write_commit(table, meta)
 
     def write_append_arrow(
         self, table: str, data: pa.Table, lineage: dict | None = None
@@ -318,6 +352,130 @@ class ParquetWarehouse:
                  "notnull": notnull}
             )
         return out
+
+    @staticmethod
+    def file_bounds(data_dir: str, cols: list[str]) -> list[dict]:
+        """Per-FILE min/max bounds of ``cols`` from parquet footers, the
+        Iceberg manifest-entry ``lower_bounds``/``upper_bounds`` analogue
+        (iceberg spec: data_file column bounds used for scan planning).
+        One footer read per file at WRITE time buys metadata-only file
+        skipping on every subsequent pruned read. A column with no usable
+        statistics in some file maps to None — the planner must then keep
+        that file (pruning is only ever a superset guarantee)."""
+        ds = pa_ds.dataset(data_dir, format="parquet", partitioning="hive")
+        out = []
+        for frag in ds.get_fragments():
+            md = frag.metadata
+            schema = md.schema.to_arrow_schema()
+            bounds: dict[str, list | None] = {}
+            for col in cols:
+                idx = schema.get_field_index(col)
+                lo = hi = None
+                if idx >= 0:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break  # one stat-less row group poisons the file
+                        smin, smax = _norm_stat(st.min), _norm_stat(st.max)
+                        lo = smin if lo is None else min(lo, smin)
+                        hi = smax if hi is None else max(hi, smax)
+                bounds[col] = None if lo is None else [lo, hi]
+            out.append(
+                {"path": os.path.relpath(frag.path, data_dir), "bounds": bounds}
+            )
+        return out
+
+    def plan_pruned(
+        self,
+        table: str,
+        col: str,
+        lo=None,
+        hi=None,
+        snapshot: int | None = None,
+    ) -> list[tuple[dict, list[str] | None]]:
+        """Scan planning with file skipping (the Iceberg planner's
+        bounds-based pruning): for each commit LIVE at ``snapshot``, the
+        relative file paths whose recorded [min,max] for ``col``
+        intersects [lo, hi] — or None meaning ALL files (commit written
+        without ``stats_cols`` covering this column: conservative, never
+        wrong). Driver-side metadata work only, O(live files) dict checks;
+        no footer is opened at plan time."""
+        nlo, nhi = _norm_stat(lo), _norm_stat(hi)
+        plan: list[tuple[dict, list[str] | None]] = []
+        for c in self._effective(self.commits(table), snapshot):
+            fs = c.get("file_stats")
+            if not fs or col not in fs.get("cols", []):
+                plan.append((c, None))
+                continue
+            keep = []
+            for f in fs["files"]:
+                b = f["bounds"].get(col)
+                if b is None:  # no stats for this file: must keep
+                    keep.append(f["path"])
+                elif (nhi is None or b[0] <= nhi) and (nlo is None or b[1] >= nlo):
+                    keep.append(f["path"])
+            plan.append((c, keep))
+        return plan
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        table: str,
+        col: str,
+        lo=None,
+        hi=None,
+        schema: StructType | None = None,
+        snapshot: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read of ``lo <= col <= hi`` with metadata file
+        skipping: plan_pruned() drops every file whose footer bounds
+        cannot contain a matching row, then the predicate is STILL applied
+        to the surviving rows (skipping is a superset guarantee, exactly
+        Iceberg's plan-then-filter contract) — so
+        ``read_pruned(...) == read(...).filter(between)`` always, and the
+        win is the unopened files. At 10^12-turn scale this is the scan
+        accelerator: a time- or key-ranged query over an appends-ordered
+        table touches only the commits/files whose ranges overlap."""
+        plan = self.plan_pruned(table, col, lo, hi, snapshot)
+        out = None
+        for c, keep in plan:
+            d = os.path.join(self.root, c["data_dir"])
+            if not os.path.isdir(d):
+                raise FileNotFoundError(
+                    f"snapshot of {table!r} references expired data dir {d}"
+                )
+            if keep is not None and not keep:
+                continue  # every file in this commit pruned
+            if keep is None:
+                part = (
+                    spark.read.parquet(d)
+                    if c["partition_by"]
+                    else (
+                        spark.read.schema(schema).parquet(d)
+                        if schema is not None
+                        else spark.read.parquet(d)
+                    )
+                )
+            else:
+                files = [os.path.join(d, p) for p in keep]
+                reader = spark.read.option("basePath", d)
+                if schema is not None and not c["partition_by"]:
+                    reader = reader.schema(schema)
+                part = reader.parquet(*files)
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
+        if out is None:
+            base = self.read(spark, table, schema=schema, snapshot=snapshot)
+            out = base.limit(0)
+        pred = None
+        if lo is not None:
+            pred = F.col(col) >= F.lit(lo)
+        if hi is not None:
+            p2 = F.col(col) <= F.lit(hi)
+            pred = p2 if pred is None else pred & p2
+        return out.filter(pred) if pred is not None else out
 
     def rollback_commit(self, table: str, commit_id: int) -> None:
         """Remove a commit from the log (its data dir becomes invisible).
@@ -675,6 +833,22 @@ class IcebergBackend:
         if snapshot is not None:
             reader = reader.option("snapshot-id", snapshot)
         return reader.table(name)
+
+    def read_pruned(
+        self, spark: SparkSession, table: str, col: str, lo=None, hi=None,
+        schema=None, snapshot=None,
+    ):
+        """Interface parity with ParquetWarehouse.read_pruned. On real
+        Iceberg the range predicate alone triggers the same metadata file
+        skipping — the planner prunes via manifest lower/upper bounds —
+        so this is read + filter; Spark pushes the predicate into the
+        Iceberg scan."""
+        df = self.read(spark, table, schema=schema, snapshot=snapshot)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     def snapshots(self, spark: SparkSession, table: str) -> list[int]:
         """Snapshot ids ascending by commit time (the contract suite's
