@@ -140,6 +140,23 @@ def scan_merged(spark, sf_dir):
     return wh.read(spark, "events_cow").select("event_id", "event_type")
 
 
+@register(
+    "scan_changelog",
+    "SELECT event_id, 'corrected' AS event_type, 'insert' AS _change_type "
+    "FROM events WHERE event_id % 7 = 0 "
+    "UNION ALL "
+    "SELECT event_id, event_type, 'delete' AS _change_type "
+    "FROM events WHERE event_id % 7 = 0",
+)
+def scan_changelog(spark, sf_dir):
+    # row-level CDC across the COW merge (snapshot 4 -> 5): the rewritten
+    # dir is diffed against the dir it replaced with exceptAll, so the
+    # changelog is exactly one delete of each old %7 row plus one insert
+    # of its corrected version — every untouched row cancels out
+    wh = _wh_cow(spark, sf_dir)
+    return wh.changelog(spark, "events_cow", from_snapshot=4, to_snapshot=5)
+
+
 def _wh_stats(spark, sf_dir: str) -> ParquetWarehouse:
     """Warehouse exercising METADATA FILE SKIPPING (the Iceberg
     manifest-bounds scan-planning analogue): one commit per event_type,

@@ -477,6 +477,82 @@ class ParquetWarehouse:
             pred = p2 if pred is None else pred & p2
         return out.filter(pred) if pred is not None else out
 
+    def changelog(
+        self,
+        spark: SparkSession,
+        table: str,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+        schema: StructType | None = None,
+    ) -> DataFrame:
+        """Row-level CDC between two snapshots (the Iceberg
+        create_changelog_view analogue): every row appears with a
+        ``_change_type`` column, 'insert' or 'delete'; an update is the
+        delete of the old row plus the insert of the new one. This is the
+        row-level answer the incremental read REFUSES to give over a
+        row-changing replace (read(from_snapshot=...) raises there).
+
+        Metadata-first plan: dirs live at BOTH snapshots are untouched by
+        construction of the commit log (a dir's content never mutates;
+        only replace commits retire dirs) and are skipped without reading
+        a byte. Only the symmetric difference of the two live dir sets is
+        scanned, and the two sides are diffed with exceptAll so rows
+        merely REWRITTEN unchanged (compaction) cancel out — a
+        row-preserving compaction in range yields an EMPTY changelog. The
+        exceptAll shuffle is bounded by the touched dirs, not the table:
+        at 10^12-turn scale a COW merge rewrites only matched-key dirs,
+        so the diff reads exactly those. Fast path: no replace commit in
+        range -> the appends are pure inserts, zero shuffle."""
+        cs = self.commits(table)
+        if to_snapshot is None:
+            to_snapshot = cs[-1]["id"] if cs else 0
+        if to_snapshot < from_snapshot:
+            raise ValueError(
+                f"changelog: to_snapshot {to_snapshot} < from_snapshot {from_snapshot}"
+            )
+        old_live = {c["id"]: c for c in self._effective(cs, from_snapshot)}
+        new_live = {c["id"]: c for c in self._effective(cs, to_snapshot)}
+        old_only = [c for i, c in sorted(old_live.items()) if i not in new_live]
+        new_only = [c for i, c in sorted(new_live.items()) if i not in old_live]
+        has_replace = any(
+            c.get("op", "append") == "replace"
+            for c in cs
+            if from_snapshot < c["id"] <= to_snapshot
+        )
+        ins = (
+            self._read_commits(spark, table, new_only, schema)
+            if new_only
+            else None
+        )
+        if not has_replace:
+            # appends only: every new dir is inserts, nothing was retired
+            if ins is None:
+                ins = self.read(
+                    spark, table, schema=schema, snapshot=to_snapshot
+                ).limit(0)
+            return ins.withColumn("_change_type", F.lit("insert"))
+        dels = (
+            self._read_commits(spark, table, old_only, schema)
+            if old_only
+            else None
+        )
+        if ins is None and dels is None:
+            base = self.read(spark, table, schema=schema, snapshot=to_snapshot)
+            return base.limit(0).withColumn("_change_type", F.lit("insert"))
+        if ins is None:
+            return dels.withColumn("_change_type", F.lit("delete"))
+        if dels is None:
+            return ins.withColumn("_change_type", F.lit("insert"))
+        cols = ins.columns
+        dels = dels.select(cols)  # align column order for exceptAll
+        return (
+            ins.exceptAll(dels)
+            .withColumn("_change_type", F.lit("insert"))
+            .unionByName(
+                dels.exceptAll(ins).withColumn("_change_type", F.lit("delete"))
+            )
+        )
+
     def rollback_commit(self, table: str, commit_id: int) -> None:
         """Remove a commit from the log (its data dir becomes invisible).
         Used by checkpoint reconciliation to prune orphaned sink appends.
@@ -808,6 +884,7 @@ class IcebergBackend:
     """
 
     def __init__(self, catalog: str, namespace: str):
+        self.catalog = catalog
         self.prefix = f"{catalog}.{namespace}"
 
     def write_append(self, df: DataFrame, table: str, partition_by=None, lineage=None) -> dict:
@@ -849,6 +926,26 @@ class IcebergBackend:
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
+
+    def changelog(
+        self, spark: SparkSession, table: str, from_snapshot: int,
+        to_snapshot: int | None = None, schema=None,
+    ):
+        """Interface parity with ParquetWarehouse.changelog: on real
+        Iceberg the changelog is a first-class scan
+        (system.create_changelog_view / the spark 'changes' read), with
+        the same _change_type insert/delete column contract."""
+        name = f"{self.prefix}.{table}"
+        view = f"chg_{uuid.uuid4().hex[:8]}"
+        args = [f"table => '{name}'", f"options => map('start-snapshot-id','{from_snapshot}'"]
+        if to_snapshot is not None:
+            args[-1] += f", 'end-snapshot-id','{to_snapshot}'"
+        args[-1] += ")"
+        spark.sql(
+            f"CALL {self.catalog}.system.create_changelog_view("
+            + ", ".join(args + [f"changelog_view => '{view}'"]) + ")"
+        )
+        return spark.table(view)
 
     def snapshots(self, spark: SparkSession, table: str) -> list[int]:
         """Snapshot ids ascending by commit time (the contract suite's
