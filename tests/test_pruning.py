@@ -153,6 +153,38 @@ def test_registry_warehouse_prunes_commits(spark):
     )
 
 
+def test_cluster_then_prune(spark, tmp_path):
+    """Sort-clustered compaction makes pruning effective on arrival-order
+    ingest: interleaved appends give every file whole-domain bounds
+    (nothing skippable); compact(sort_by) + stats_cols yields tight
+    per-file ranges and a narrow read plans a strict subset of files."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    for m in range(3):  # k % 3 buckets: every commit spans 0..299
+        df = spark.createDataFrame(
+            [Row(k=k, grp="g") for k in range(300) if k % 3 == m]
+        ).coalesce(1)
+        wh.write_append(df, "tbl", stats_cols=["k"])
+
+    # arrival-order layout: all 3 files overlap any window -> no skipping
+    plan = wh.plan_pruned("tbl", "k", lo=100, hi=120)
+    assert sum(len(k) for _c, k in plan) == 3
+
+    wh.compact(spark, "tbl", sort_by=["k"], stats_cols=["k"], target_partitions=4)
+    c = wh.commits("tbl")[-1]
+    assert c["lineage"]["compaction"]["sort_by"] == ["k"]
+    files = c["file_stats"]["files"]
+    assert len(files) == 4
+    # clustered: file ranges are disjoint (no two files overlap)
+    spans = sorted(f["bounds"]["k"] for f in files)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+    plan = wh.plan_pruned("tbl", "k", lo=100, hi=120)
+    kept = sum(len(k) for _c, k in plan if k is not None)
+    assert 1 <= kept <= 2  # ~window/file-width files, not all 4
+    got = sorted(r["k"] for r in wh.read_pruned(spark, "tbl", "k", 100, 120).collect())
+    assert got == list(range(100, 121))
+
+
 def test_snapshot_pruning(spark, tmp_path):
     wh = _mk(spark, tmp_path)
     # snapshot 1 sees only commit 1: a window over commit 2's range is empty

@@ -291,6 +291,8 @@ def cmd_compact(args) -> int:
         args.table,
         partition_by=args.partition_by.split(",") if args.partition_by else None,
         target_partitions=args.target_partitions,
+        sort_by=args.sort_by.split(",") if args.sort_by else None,
+        stats_cols=args.stats_cols.split(",") if args.stats_cols else None,
     )
     expired = []
     if args.expire:
@@ -406,6 +408,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated re-layout columns")
     pc.add_argument("--target-partitions", type=int, default=None,
                     dest="target_partitions")
+    pc.add_argument("--sort-by", default=None, dest="sort_by",
+                    help="comma-separated sort-cluster keys (range-"
+                         "partitioned + sorted files: cluster-then-prune)")
+    pc.add_argument("--stats-cols", default=None, dest="stats_cols",
+                    help="comma-separated columns whose per-file bounds are "
+                         "recorded for read_pruned file skipping")
     pc.add_argument("--expire", action="store_true",
                     help="reclaim superseded data dirs after compacting")
     _add_common(pc)

@@ -591,6 +591,8 @@ class ParquetWarehouse:
         schema: StructType | None = None,
         partition_by: list[str] | None = None,
         target_partitions: int | None = None,
+        sort_by: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> dict:
         """Small-file compaction (the Iceberg rewrite_data_files analogue):
         rewrite every dir LIVE at the current snapshot into one freshly
@@ -607,13 +609,31 @@ class ParquetWarehouse:
         from the written parquet footers before the commit is made — a
         short rewrite aborts and leaves the old dirs live. Time travel to
         pre-compaction snapshots keeps working (old dirs are retained
-        until expire_snapshots)."""
+        until expire_snapshots).
+
+        ``sort_by`` SORT-CLUSTERS the rewrite (Iceberg's rewrite with a
+        sort order): repartitionByRange on the keys, then sort within
+        each output file — so every file owns a tight, near-disjoint key
+        range. Composed with ``stats_cols`` (per-file bounds recorded in
+        the replace commit, see file_bounds), this is what makes
+        read_pruned effective on a table whose ingest order does NOT
+        correlate with the query key: before clustering every file's
+        [min,max] spans the whole domain and nothing can be skipped;
+        after it, a ranged read plans ~(range width / file width) files.
+        At 10^12-turn scale this cluster-then-prune pair is the standard
+        Iceberg recipe for time- or key-ranged dashboards over tables
+        ingested in arrival order."""
         cs = self._effective(self.commits(table))
         if not cs:
             raise ValueError(f"compact: table {table!r} has no commits")
         expected = sum(c["rows"] for c in cs)
         df = self._read_commits(spark, table, cs, schema)
-        if target_partitions is not None:
+        if sort_by:
+            n_out = target_partitions or df.rdd.getNumPartitions()
+            df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        elif target_partitions is not None:
             df = df.coalesce(target_partitions)
         token = uuid.uuid4().hex
         data_dir = os.path.join(self._tdir(table), "data", token)
@@ -627,23 +647,27 @@ class ParquetWarehouse:
                 f"compact aborted: rewrite of {table!r} produced {rows} rows, "
                 f"expected {expected}; old dirs remain live"
             )
-        return self._write_commit(
-            table,
-            {
-                "op": "replace",
-                "replaces": [c["id"] for c in cs],
-                "rows_changed": False,
-                "data_dir": os.path.relpath(data_dir, self.root),
-                "rows": rows,
-                "partition_by": partition_by or [],
-                "lineage": {
-                    "compaction": {
-                        "commits_before": len(cs),
-                        "rows": rows,
-                    }
-                },
+        meta = {
+            "op": "replace",
+            "replaces": [c["id"] for c in cs],
+            "rows_changed": False,
+            "data_dir": os.path.relpath(data_dir, self.root),
+            "rows": rows,
+            "partition_by": partition_by or [],
+            "lineage": {
+                "compaction": {
+                    "commits_before": len(cs),
+                    "rows": rows,
+                    "sort_by": sort_by or [],
+                }
             },
-        )
+        }
+        if stats_cols:
+            meta["file_stats"] = {
+                "cols": list(stats_cols),
+                "files": self.file_bounds(data_dir, list(stats_cols)),
+            }
+        return self._write_commit(table, meta)
 
     def merge_upsert(
         self,
