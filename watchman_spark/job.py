@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from .config import PipelineConfig
@@ -307,6 +308,21 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    """Orphan-file cleanup as an operational job (remove_orphan_files
+    analogue): reclaim data dirs a crashed writer staged but never
+    committed. Driver-only metadata + filesystem work; no Spark session
+    is started. The grace period protects in-flight writers."""
+    wh = ParquetWarehouse(args.warehouse)
+    removed = wh.remove_orphans(args.table, older_than_s=args.older_than)
+    print(json.dumps({
+        "table": args.table,
+        "removed_orphan_dirs": len(removed),
+        "paths": [os.path.relpath(p, args.warehouse) for p in removed],
+    }))
+    return 0
+
+
 def cmd_sql(args) -> int:
     from .sql import sql as run_sql
 
@@ -418,6 +434,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="reclaim superseded data dirs after compacting")
     _add_common(pc)
     pc.set_defaults(fn=cmd_compact)
+
+    pv = sub.add_parser(
+        "vacuum", help="reclaim orphan data dirs left by crashed writers"
+    )
+    pv.add_argument("--table", required=True)
+    pv.add_argument("--older-than", type=float, default=86400.0,
+                    dest="older_than",
+                    help="grace period in seconds (default 1 day): younger "
+                         "dirs are assumed in-flight and kept")
+    _add_common(pv)
+    pv.set_defaults(fn=cmd_vacuum)
 
     pq = sub.add_parser("sql", help="run Spark SQL over the warehouse tables")
     _add_common(pq)

@@ -795,6 +795,90 @@ class ParquetWarehouse:
         return dead
 
     # -- read ------------------------------------------------------------
+    def remove_orphans(
+        self, table: str, older_than_s: float = 86400.0
+    ) -> list[str]:
+        """Delete data dirs never referenced by ANY commit (the Iceberg
+        remove_orphan_files analogue): a writer that crashed between
+        staging its parquet and writing the commit json leaves an
+        invisible-but-real dir that nothing will ever read OR reclaim —
+        expire_snapshots only walks committed history. Only dirs older
+        than ``older_than_s`` are removed (grace period: an IN-FLIGHT
+        writer's staged dir is young by definition — the same race guard
+        Iceberg's procedure uses). Dirs referenced by retired commits are
+        kept (time travel owns them until expire_snapshots). Returns the
+        removed paths."""
+        import shutil
+
+        ddir = os.path.join(self._tdir(table), "data")
+        if not os.path.isdir(ddir):
+            return []
+        referenced = {
+            os.path.basename(c["data_dir"].rstrip("/"))
+            for c in self.commits(table)
+        }
+        cutoff = time.time() - older_than_s
+        removed = []
+        for token in os.listdir(ddir):
+            path = os.path.join(ddir, token)
+            if token in referenced or not os.path.isdir(path):
+                continue
+            if os.path.getmtime(path) > cutoff:
+                continue  # grace: possibly a live writer mid-stage
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+        return removed
+
+    def meta_snapshots(self, spark: SparkSession, table: str) -> DataFrame:
+        """The table's commit history as a DataFrame (Iceberg's
+        ``table.snapshots``/``history`` metadata table analogue): one row
+        per commit with id, commit time, op, rows, partition layout and
+        lineage (json). Driver-side metadata only — O(commits) via the
+        manifest-compacted log, no data file is touched."""
+        rows = [
+            {
+                "id": c["id"],
+                "committed_at": float(c.get("ts", 0.0)),
+                "op": c.get("op", "append"),
+                "rows": c["rows"],
+                "partition_by": list(c.get("partition_by") or []),
+                "replaces": list(c.get("replaces") or []),
+                "lineage": json.dumps(c.get("lineage") or {}, sort_keys=True),
+            }
+            for c in self.commits(table)
+        ]
+        schema = (
+            "id long, committed_at double, op string, rows long, "
+            "partition_by array<string>, replaces array<long>, lineage string"
+        )
+        return spark.createDataFrame(rows, schema=schema)
+
+    def meta_files(
+        self, spark: SparkSession, table: str, snapshot: int | None = None
+    ) -> DataFrame:
+        """Per-file inventory of the snapshot (Iceberg's ``table.files``
+        analogue): commit id, relative path, rows, bytes. Prefers the
+        bounds/rows already recorded in commit metadata; falls back to one
+        footer read per file for commits written without stats. Driver
+        cost O(live files) — an introspection/maintenance surface (small-
+        file monitoring, compaction triggers), not a query path."""
+        out = []
+        for c in self._effective(self.commits(table), snapshot):
+            d = os.path.join(self.root, c["data_dir"])
+            ds = pa_ds.dataset(d, format="parquet", partitioning="hive")
+            for frag in ds.get_fragments():
+                out.append(
+                    {
+                        "commit_id": c["id"],
+                        "path": os.path.relpath(frag.path, d),
+                        "rows": frag.metadata.num_rows,
+                        "bytes": os.path.getsize(frag.path),
+                    }
+                )
+        return spark.createDataFrame(
+            out, schema="commit_id long, path string, rows long, bytes long"
+        )
+
     def read(
         self,
         spark: SparkSession,
