@@ -1106,7 +1106,10 @@ host's OWN 4->16-writer tmpfs probe reads ≥0.8 — a window in which the
 machine itself cannot scale is not informative about the plan and only
 dilutes the pool. The gate is necessary but not sufficient: the host can
 (and does) degrade mid-run — run 16 launched at probe 0.814 and still
-landed e2e cycles of 0.66-0.74 while its parse cycles held 0.76-0.90.
+landed e2e cycles of 0.66-0.74 while its parse cycles held 0.76-0.90, and
+run 17 launched at probe 0.887 yet its in-run calibration fell to
+cpu 0.67 / tmpfs 0.71 (e2e cycles 0.52-0.81, parse 0.86-1.05) — the
+stall episodes arrive on minute timescales no launch gate can see past.
 Every completed cycle stays in the pooled headline regardless; post-hoc
 exclusion would be cherry-picking, and the weather-gated bullet above is
 the honest version of that view (same-cycle probes, secondary only).
