@@ -731,9 +731,12 @@ class ParquetWarehouse:
         # map hit files back to the commits whose data dirs contain them
         def _owns(c: dict, f: str) -> bool:
             d = os.path.join(os.path.realpath(self.root), c["data_dir"])
-            return os.path.realpath(f[7:] if f.startswith("file:") else f).startswith(
-                d + os.sep
-            )
+            # input_file_name() yields a URI (file:///x) on local filesystems
+            # but a bare path on some; urlparse handles both (and file:/x)
+            from urllib.parse import unquote, urlparse
+
+            p = unquote(urlparse(f).path) if f.startswith("file:") else f
+            return os.path.realpath(p).startswith(d + os.sep)
 
         affected = [c for c in live if any(_owns(c, f) for f in hit_files)]
         if not affected:
