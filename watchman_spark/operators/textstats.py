@@ -207,6 +207,22 @@ def top_ngram_frac_table(
     return short.unionByName(long_out.select(*short.columns))
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization for dedup/analysis keys: lowercase,
+    punctuation → space, whitespace runs collapsed, edges trimmed. A pure
+    JVM regexp_replace chain in the java∩RE2 regex subset (the
+    PII_PATTERNS discipline) so the identical expressions reproduce the
+    normalization in any audit engine — a normalization that differs
+    between the ingest engine and the audit engine silently breaks every
+    content-hash comparison downstream. Character classes are explicit
+    ASCII ranges (no \\w/\\s shorthands, whose Unicode semantics differ
+    across engines)."""
+    out = F.lower(text)
+    out = F.regexp_replace(out, "[^a-z0-9 ]", " ")
+    out = F.regexp_replace(out, "  +", " ")
+    return F.trim(out)
+
+
 def fingerprint(text: Column, k: int = 5) -> Column:
     """Deterministic document fingerprint: lexicographic min of sha256 over
     word-k-gram shingles (a 1-perm MinHash with a portable hash). Null for

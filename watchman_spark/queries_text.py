@@ -1495,3 +1495,134 @@ def events_transition_matrix(spark, sf_dir):
     tot = F.sum("n").over(Window.partitionBy("prev_type")).cast("long")
     p = ((F.col("n") * 10000) - F.pmod(F.col("n") * 10000, tot)) / tot / F.lit(10000.0)
     return pairs.select("prev_type", "event_type", F.col("n").cast("long").alias("n"), p.alias("p"))
+
+
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+@register(
+    "events_funnel",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+         FROM events),
+       s1 AS (SELECT user_id, min(rn) AS rn FROM seq
+              WHERE event_type = 'signup' GROUP BY 1),
+       s2 AS (SELECT seq.user_id, min(seq.rn) AS rn FROM seq
+              JOIN s1 ON seq.user_id = s1.user_id AND seq.rn > s1.rn
+              WHERE seq.event_type = 'click' GROUP BY 1),
+       s3 AS (SELECT seq.user_id, min(seq.rn) AS rn FROM seq
+              JOIN s2 ON seq.user_id = s2.user_id AND seq.rn > s2.rn
+              WHERE seq.event_type = 'purchase' GROUP BY 1),
+       c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+                    (SELECT count(*) FROM s2) AS c2,
+                    (SELECT count(*) FROM s3) AS c3,
+                    (SELECT count(DISTINCT user_id) FROM events) AS total)
+       SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+              CAST(n_keys AS BIGINT) AS n_keys,
+              ((n_keys * 10000) // total) / 10000.0 AS frac
+       FROM (SELECT 1 AS step_idx, 'signup' AS step, c1 AS n_keys, total FROM c
+             UNION ALL
+             SELECT 2, 'click', c2, total FROM c
+             UNION ALL
+             SELECT 3, 'purchase', c3, total FROM c)""",
+)
+def events_funnel(spark, sf_dir):
+    """Ordered-funnel conversion (operators/analytics.py): signup →
+    click → purchase completion counts per user, steps matched strictly
+    in sequence. The Spark side folds each user's (ts, event_id)-sorted
+    event array through a pure-JVM F.aggregate cursor in ONE hash
+    aggregate; the oracle expresses the identical semantics iteratively
+    (min row_number per step, constrained past the previous step's).
+    Fractions use the integer-division trick."""
+    from .operators.analytics import funnel
+
+    return funnel(t(spark, sf_dir, "events"), _FUNNEL_STEPS)
+
+
+@register(
+    "events_retention",
+    """WITH days AS (
+         SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+       firsts AS (
+         SELECT user_id, min(d) AS cohort_day FROM days GROUP BY 1),
+       j AS (
+         SELECT days.user_id, cohort_day,
+                date_diff('day', cohort_day, d) // 7 AS week_offset
+         FROM days JOIN firsts ON days.user_id = firsts.user_id),
+       act AS (
+         SELECT cohort_day, week_offset,
+                count(DISTINCT user_id) AS n_active
+         FROM j GROUP BY 1, 2)
+       SELECT cohort_day, week_offset, n_active,
+              ((n_active * 10000)
+                 // (max(CASE WHEN week_offset = 0 THEN n_active END)
+                       OVER (PARTITION BY cohort_day))) / 10000.0
+                AS retention
+       FROM act""",
+)
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention (operators/analytics.py): cohort = first
+    active day per user; n_active distinct users per (cohort_day,
+    week_offset), plus the retained fraction of the cohort (week 0 = the
+    cohort by construction). Distinct (user, day) first — the retention
+    join and count-distinct run over active-days, not raw events."""
+    from .operators.analytics import retention_cohorts
+
+    return retention_cohorts(t(spark, sf_dir, "events"))
+
+
+@register(
+    "alert_value_outliers",
+    """WITH q AS (
+         SELECT event_type, quantile_cont(value, 0.99) AS pq
+         FROM events GROUP BY 1)
+       SELECT e.event_type, round(q.pq, 4) AS pq,
+              count(*) AS n,
+              CAST(SUM(CASE WHEN e.value > q.pq THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_above
+       FROM events e JOIN q ON e.event_type = q.event_type
+       GROUP BY 1, 2""",
+)
+def alert_value_outliers(spark, sf_dir):
+    """Percentile-threshold outlier alert (operators/analytics.py): per
+    event_type, the exact interpolated p99 of value and the count of
+    events strictly above it — the tail-latency alarm a log pipeline
+    hangs off the aggregate stage. The strict comparison uses the
+    UNROUNDED percentile (both engines interpolate the identical sorted
+    doubles — the agg_p95_latency discipline), so the flag and the
+    reported threshold can never disagree."""
+    from .operators.analytics import value_outliers
+
+    return value_outliers(t(spark, sf_dir, "events"), "event_type", "value", q=0.99)
+
+
+@register(
+    "text_normalize",
+    """SELECT doc_id,
+              trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')) AS norm,
+              CAST(CASE WHEN trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')) = ''
+                   THEN 0
+                   ELSE len(string_split(trim(regexp_replace(regexp_replace(
+                     lower(text), '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')),
+                     ' ')) END AS BIGINT) AS n_norm_tokens
+       FROM documents""",
+)
+def text_normalize(spark, sf_dir):
+    """Canonical normalization pass (operators/textstats.normalize_text):
+    lowercase, punctuation → space, whitespace collapsed, trimmed — the
+    key-preparation step before content hashing / shingling. Map-side
+    regexp chain in the java∩RE2 subset; the oracle runs the same
+    expressions so the normalized keys are engine-identical."""
+    norm = textstats.normalize_text(F.col("text"))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        norm.alias("norm"),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ", -1)))
+        .cast("long")
+        .alias("n_norm_tokens"),
+    )
