@@ -79,3 +79,64 @@ def test_psi_zero_for_identical(spark):
     vals = list(range(50)) * 3
     bins = drift.drift_bins(_slice(spark, vals), _slice(spark, vals), F.col("x"), 10)
     assert drift.psi(bins).collect()[0]["psi"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_profile_columns_closed_form(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (None, "z")], "a long, b string"
+    )
+    rows = {r["column"]: r for r in drift.profile_columns(df, ["a", "b"]).collect()}
+    a, b = rows["a"], rows["b"]
+    assert (a["n"], a["n_null"], a["n_distinct"], a["min_s"], a["max_s"]) == (
+        3, 1, 1, "1", "1"
+    )
+    assert (b["n"], b["n_null"], b["n_distinct"], b["min_s"], b["max_s"]) == (
+        3, 0, 3, "x", "z"
+    )
+
+
+def test_profile_columns_all_null_and_empty_input(spark):
+    df = spark.createDataFrame([(None,), (None,)], "a string")
+    r = drift.profile_columns(df, ["a"]).collect()[0]
+    assert (r["n"], r["n_null"], r["n_distinct"], r["min_s"], r["max_s"]) == (
+        2, 2, 0, None, None
+    )
+    empty = drift.profile_columns(df.limit(0), ["a"]).collect()[0]
+    assert (empty["n"], empty["n_null"], empty["n_distinct"]) == (0, 0, 0)
+
+
+def test_profile_columns_rejects_empty_cols(spark):
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError):
+        drift.profile_columns(df, [])
+
+
+def test_job_profile_subcommand(spark, tmp_path, capsys):
+    """job.py profile: the schema-level ingest gate — per-column profile
+    rows over a committed warehouse table, exit 1 when a column's null
+    fraction crosses the threshold."""
+    import json as _json
+
+    from watchman_spark.job import main as job_main
+    from watchman_spark.sources.warehouse import ParquetWarehouse
+
+    wh_root = str(tmp_path / "wh")
+    wh = ParquetWarehouse(wh_root)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], "id long, v string"
+    )
+    wh.write_append(df, "corpus")
+    rc = job_main(["profile", "--warehouse", wh_root, "--table", "corpus"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["alert"] is False
+    cols = {c["column"]: c for c in out["columns"]}
+    assert cols["id"]["n_null"] == 0 and cols["id"]["n_distinct"] == 4
+    assert cols["v"]["n_null"] == 2 and cols["v"]["min_s"] == "a"
+
+    rc = job_main([
+        "profile", "--warehouse", wh_root, "--table", "corpus",
+        "--columns", "v", "--max-null-frac", "0.5",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["alert"] is True
+    assert out["columns"][0]["null_alert"] is True

@@ -277,6 +277,31 @@ def cmd_drift(args) -> int:
     return 1 if out["alert"] else 0
 
 
+def cmd_profile(args) -> int:
+    """Column data-quality profile as an operational job: per-column row/
+    null/distinct counts and min/max over a warehouse table's current
+    snapshot — the schema-level ingest gate next to the distribution
+    `drift` gate (drift sees shape changes in one statistic; this catches
+    an all-null column or a collapsed key space). Exits 1 when any
+    profiled column's null fraction is at/above --max-null-frac."""
+    from .operators.drift import profile_columns
+
+    spark = _session(args)
+    wh = ParquetWarehouse(args.warehouse)
+    df = wh.read(spark, args.table)
+    cols = args.columns.split(",") if args.columns else list(df.columns)
+    rows = [r.asDict() for r in profile_columns(df, cols).collect()]
+    alert = False
+    if args.max_null_frac is not None:
+        for r in rows:
+            r["null_alert"] = bool(
+                r["n"] > 0 and r["n_null"] / r["n"] >= args.max_null_frac
+            )
+            alert = alert or r["null_alert"]
+    print(json.dumps({"table": args.table, "columns": rows, "alert": alert}))
+    return 1 if alert else 0
+
+
 def cmd_compact(args) -> int:
     """Small-file compaction as an operational job: rewrite a table's live
     data dirs into one compact layout (replace commit; row count verified
@@ -415,6 +440,18 @@ def main(argv: list[str] | None = None) -> int:
                      help="TV distance at or above this exits 1")
     _add_common(pdr)
     pdr.set_defaults(fn=cmd_drift)
+
+    ppf = sub.add_parser(
+        "profile", help="per-column data-quality profile of a warehouse table"
+    )
+    ppf.add_argument("--table", required=True)
+    ppf.add_argument("--columns", default=None,
+                     help="comma-separated columns (default: all)")
+    ppf.add_argument("--max-null-frac", type=float, default=None,
+                     dest="max_null_frac",
+                     help="exit 1 if any column's null fraction >= this")
+    _add_common(ppf)
+    ppf.set_defaults(fn=cmd_profile)
 
     pc = sub.add_parser(
         "compact", help="rewrite a table's small files into one compact layout"

@@ -95,6 +95,51 @@ def total_variation(bins: DataFrame) -> DataFrame:
     )
 
 
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column data-quality profile — the ingest-gate twin of the
+    distribution drift above (drift sees shape changes in one statistic;
+    this sees schema-level rot: a column suddenly all-null, a key whose
+    distinct count collapses, an enum that grew a value). Returns one row
+    per column: (column, n, n_null, n_distinct, min_s, max_s) with
+    min/max cast to string so the schema is uniform across column types.
+
+    Plan shape: ONE aggregation pass over the input computes every
+    column's stats (count/min/max partial-aggregate map-side; the exact
+    count_distincts share the pass via Expand — n_cols+1 projections of
+    the input, the standard cost of multiple exact distincts; profile on
+    a sample or swap approx_count_distinct in if exactness isn't needed
+    at full-corpus scale), then the per-column rows are exploded from
+    the single result row — the exchange carries one row."""
+    if not cols:
+        raise ValueError("profile_columns needs at least one column")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"_nn_{c}"),
+            F.count_distinct(c).alias(f"_nd_{c}"),
+            F.min(c).cast("string").alias(f"_mn_{c}"),
+            F.max(c).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("_n").alias("n"),
+                        (F.col("_n") - F.col(f"_nn_{c}")).alias("n_null"),
+                        F.col(f"_nd_{c}").alias("n_distinct"),
+                        F.col(f"_mn_{c}").alias("min_s"),
+                        F.col(f"_mx_{c}").alias("max_s"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
 def psi(bins: DataFrame, epsilon: float = 1e-6) -> DataFrame:
     """One-row (psi) population stability index over a drift_bins table:
     Σ (p_i - q_i)·ln(p_i/q_i) with ε-smoothed proportions (a bucket

@@ -25,3 +25,42 @@ def enrich(
     if tool_dim is not None:
         out = out.join(F.broadcast(tool_dim), on="tool", how="left")
     return out
+
+
+def scd2_enrich(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    ts_col: str,
+    dim_key: str | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """AS-OF dimension enrichment against a slowly-changing (SCD type 2)
+    dimension: each fact row picks the dimension version whose half-open
+    validity interval [valid_from, valid_to) contains the fact's
+    timestamp — the lookup shape every log enrichment hits once a
+    dimension starts versioning (a tool's config changed on date D; rows
+    before D must see the old attributes).
+
+    Plan shape: ONE broadcast hash join on the equality key with the two
+    interval bounds as a residual join condition — no range-join
+    explosion, no shuffle (the versioned dimension is |dim| × versions
+    rows, still dimension-sized). LEFT by default: facts with no
+    matching key OR no covering version keep their rows with null
+    attributes (same never-drop contract as enrich()). A dimension with
+    overlapping intervals for one key would duplicate facts — keep
+    intervals disjoint per key (the SCD2 invariant; half-open intervals
+    make adjacent versions safely non-overlapping at the boundary)."""
+    dim_key = dim_key or fact_key
+    f, d = facts.alias("__f"), dim.alias("__d")
+    cond = (
+        (F.col(f"__f.{fact_key}") == F.col(f"__d.{dim_key}"))
+        & (F.col(f"__f.{ts_col}") >= F.col(f"__d.{valid_from}"))
+        & (F.col(f"__f.{ts_col}") < F.col(f"__d.{valid_to}"))
+    )
+    attrs = [c for c in dim.columns if c not in (dim_key, valid_from, valid_to)]
+    return f.join(F.broadcast(d), cond, how).select(
+        "__f.*", *[F.col(f"__d.{c}").alias(c) for c in attrs]
+    )

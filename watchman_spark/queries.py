@@ -291,6 +291,61 @@ def join_cross_small(spark, sf_dir):
     return r1.crossJoin(r2).filter(F.col("k1") < F.col("k2")).select("a", "b")
 
 
+@register(
+    "join_scd2",
+    """WITH dim AS (
+         SELECT n_nationkey AS key, n_name || '/v1' AS nation_era,
+                TIMESTAMP '1992-01-01' AS valid_from,
+                TIMESTAMP '1998-01-01' AS valid_to
+         FROM nation
+         UNION ALL
+         SELECT n_nationkey, n_name || '/v2',
+                TIMESTAMP '1998-01-01', TIMESTAMP '2010-01-01'
+         FROM nation)
+       SELECT o.o_orderkey, dim.nation_era
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       LEFT JOIN dim ON c.c_nationkey = dim.key
+                    AND o.o_orderdate >= dim.valid_from
+                    AND o.o_orderdate < dim.valid_to""",
+)
+def join_scd2(spark, sf_dir):
+    """AS-OF enrichment against an SCD type-2 dimension
+    (operators/enrich.scd2_enrich): every order picks its customer
+    nation's ERA label by o_orderdate — versioned-dimension lookup as ONE
+    broadcast hash join on the key with the validity interval as a
+    residual condition (no range-join explosion). The two-era dimension
+    is derived deterministically from nation so both engines build the
+    identical SCD table."""
+    from .operators.enrich import scd2_enrich
+
+    nation = t(spark, sf_dir, "nation")
+    dim = nation.select(
+        F.col("n_nationkey").alias("key"),
+        F.concat(F.col("n_name"), F.lit("/v1")).alias("nation_era"),
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("1998-01-01").cast("timestamp").alias("valid_to"),
+    ).unionByName(
+        nation.select(
+            F.col("n_nationkey").alias("key"),
+            F.concat(F.col("n_name"), F.lit("/v2")).alias("nation_era"),
+            F.lit("1998-01-01").cast("timestamp").alias("valid_from"),
+            F.lit("2010-01-01").cast("timestamp").alias("valid_to"),
+        )
+    )
+    facts = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(
+            F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return scd2_enrich(facts, dim, "c_nationkey", "o_orderdate", dim_key="key").select(
+        "o_orderkey", "nation_era"
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2.4 aggregations
 # ---------------------------------------------------------------------------

@@ -1626,3 +1626,29 @@ def text_normalize(spark, sf_dir):
         .cast("long")
         .alias("n_norm_tokens"),
     )
+
+
+_PROFILE_COLS = ["user_id", "event_type", "props"]
+
+
+@register(
+    "profile_events",
+    " UNION ALL ".join(
+        f"""SELECT '{c}' AS column, count(*) AS n,
+                   count(*) - count({c}) AS n_null,
+                   count(DISTINCT {c}) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_s,
+                   CAST(max({c}) AS VARCHAR) AS max_s
+            FROM events"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_events(spark, sf_dir):
+    """Column data-quality profile (operators/drift.profile_columns):
+    row count, null count, exact distinct count and stringified min/max
+    per column — the ingest-gate check that catches an all-null column
+    or a collapsed key space before it lands in the corpus. One
+    aggregation pass; the oracle computes each column independently."""
+    from .operators.drift import profile_columns
+
+    return profile_columns(t(spark, sf_dir, "events"), _PROFILE_COLS)
