@@ -174,3 +174,75 @@ def test_normalize_text_closed_form(spark):
     assert rows[1] == "hello world it s 42"
     assert rows[2] == ""
     assert rows[3] is None
+
+
+# ---------------------------------------------------------------------------
+# volume_anomaly (rolling integer z² test)
+# ---------------------------------------------------------------------------
+
+def _hours_df(spark, counts, key="a"):
+    """One event row per count unit: hour i gets counts[i] events."""
+    rows = [
+        (key, T0 + dt.timedelta(hours=i, seconds=s))
+        for i, n in enumerate(counts)
+        for s in range(n)
+    ]
+    return spark.createDataFrame(rows, "key string, ts timestamp")
+
+
+def _flags(spark, counts, **kw):
+    from watchman_spark.operators.analytics import volume_anomaly
+
+    out = volume_anomaly(_hours_df(spark, counts), key_col="key", **kw)
+    return [r["anomaly"] for r in out.orderBy("hour").collect()]
+
+
+def test_volume_anomaly_spike_flagged_stable_not(spark):
+    # varied history (nonzero variance): m=4, s1=20, s2=104 → var term 16;
+    # x=5 sits on the mean (never flags), then x=50 is a >3σ spike.
+    flags = _flags(spark, [4, 6, 4, 6, 5, 50])
+    assert flags[4] is False and flags[5] is True
+    # cold start: hours with <3 preceding observations never flag
+    assert flags[:3] == [False, False, False]
+
+
+def test_volume_anomaly_zero_variance_history(spark):
+    # flatline history: ANY deviation is infinite-z → flagged; staying on
+    # the flatline is not.
+    flags = _flags(spark, [5, 5, 5, 5, 5, 6])
+    assert flags[4] is False and flags[5] is True
+
+
+def test_volume_anomaly_exact_integer_threshold(spark):
+    # boundary exactness: with history [4,6,4,6] (m=4, s1=20, s2=104,
+    # m·s2−s1² = 16), flag iff (4x−20)²·3 > 9·4·16 = 576 ⇔ |x−5| > √12 ≈
+    # 3.46 ⇔ x ≤ 1 or x ≥ 9 in integers. x=8 must NOT flag, x=9 must.
+    assert _flags(spark, [4, 6, 4, 6, 8])[4] is False
+    assert _flags(spark, [4, 6, 4, 6, 9])[4] is True
+
+
+def test_volume_anomaly_window_bound(spark):
+    # an old spike scrolls out of the 24-hour window: 30 quiet hours after
+    # it, the detector only sees the quiet plateau.
+    counts = [50] + [5] * 30
+    flags = _flags(spark, counts)
+    assert flags[-1] is False
+
+
+def test_log_template_masking(spark):
+    from watchman_spark.operators.textstats import log_template
+
+    df = spark.createDataFrame(
+        [
+            ("req 12 deadbeefcafe42 took 93ms",),
+            ("GET /api/v2/items/4711 200",),
+            ("dead beef stays",),  # hex runs < 8 chars are words, not ids
+        ],
+        "t string",
+    )
+    got = [r["m"] for r in df.select(log_template(F.col("t")).alias("m")).collect()]
+    assert got == [
+        "req <n> <hex> took <n>ms",
+        "GET /api/v<n>/items/<n> <n>",
+        "dead beef stays",
+    ]

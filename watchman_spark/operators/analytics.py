@@ -169,3 +169,55 @@ def value_outliers(
             .alias("n_above"),
         )
     )
+
+
+def volume_anomaly(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window: int = 24,
+    z2_threshold: int = 9,
+    min_history: int = 3,
+) -> DataFrame:
+    """Rolling volume-anomaly detector: per key, flag the hours whose
+    event count sits more than z standard deviations from the mean of
+    the preceding ``window`` observed hours — the alert a log pipeline
+    raises when one sink's traffic spikes or collapses (the volume twin
+    of the rate threshold in alert_error_rate).
+
+    The z-test is evaluated ENTIRELY IN INTEGER ARITHMETIC so the flag is
+    bit-identical across engines (the drift.total_variation discipline —
+    no sqrt, no float accumulation-order hazards): with m preceding
+    counts, s1 = Σx, s2 = Σx², sample variance is
+    (m·s2 − s1²)/(m(m−1)), and z² > T² rearranges to
+
+        (m·x − s1)² · (m−1)  >  T² · m · (m·s2 − s1²)
+
+    — every term a BIGINT. Zero-variance history flags ANY deviation
+    (z is infinite there), which is the wanted semantics for a flatline
+    counter that suddenly moves. Hours with fewer than ``min_history``
+    preceding observations never flag (cold start).
+
+    Plan shape: one partial-agg exchange to hourly counts (n_keys×n_hours
+    rows — tiny), then a per-key ROWS window over that aggregate; the
+    window sort is per-key over the already-reduced table, never over raw
+    events. Returns (key, hour, n, m, anomaly).
+    """
+    from pyspark.sql.window import Window
+
+    hourly = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("key").orderBy("hour").rowsBetween(-window, -1)
+    m = F.count("n").over(w)
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    dev = m * F.col("n") - s1
+    anomaly = (m >= F.lit(min_history)) & (
+        dev * dev * (m - F.lit(1))
+        > F.lit(z2_threshold) * m * (m * s2 - s1 * s1)
+    )
+    return hourly.select(
+        "key", "hour", "n", m.alias("m"), anomaly.alias("anomaly")
+    )

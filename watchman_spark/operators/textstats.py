@@ -228,3 +228,18 @@ def fingerprint(text: Column, k: int = 5) -> Column:
     word-k-gram shingles (a 1-perm MinHash with a portable hash). Null for
     docs shorter than k words."""
     return F.array_min(F.transform(word_shingles(text, k), lambda s: F.sha2(s, 256)))
+
+
+def log_template(text: Column) -> Column:
+    """Mask a log/message line's variable tokens down to its constant
+    skeleton (the grouping key of template mining — Drain-family log
+    clustering reduced to its portable core): long lowercase-hex runs
+    (ids, digests, uuid fragments) become ``<hex>``, then any digit run
+    becomes ``<n>``. Order matters — hex first, so ``deadbeef42`` doesn't
+    decay into ``deadbeef<n>``. Pure JVM regexp_replace chain in the
+    java∩RE2 subset with explicit ASCII classes (the PII_PATTERNS /
+    normalize_text discipline), so the identical expressions reproduce
+    the template key in any audit engine — two engines disagreeing on
+    masking would split every template's count in two."""
+    out = F.regexp_replace(text, "[0-9a-f]{8,}", "<hex>")
+    return F.regexp_replace(out, "[0-9]+", "<n>")

@@ -1652,3 +1652,83 @@ def profile_events(spark, sf_dir):
     from .operators.drift import profile_columns
 
     return profile_columns(t(spark, sf_dir, "events"), _PROFILE_COLS)
+
+
+@register(
+    "log_templates",
+    """WITH lines AS (
+         SELECT event_id, user_id,
+                regexp_replace(regexp_replace(
+                    event_type || ' uid=' || CAST(user_id AS VARCHAR)
+                               || ' ' || props,
+                    '[0-9a-f]{8,}', '<hex>', 'g'),
+                  '[0-9]+', '<n>', 'g') AS template
+         FROM events)
+       SELECT template, COUNT(*) AS n,
+              COUNT(DISTINCT user_id) AS n_users,
+              CAST(MIN(event_id) AS BIGINT) AS first_event
+       FROM lines GROUP BY 1""",
+)
+def log_templates(spark, sf_dir):
+    """Log template mining (operators/textstats.log_template): each event
+    renders a log line (type + uid + raw props), the masking chain
+    reduces it to its constant skeleton, and the group-by counts each
+    template's volume, distinct users, and first occurrence — the
+    Drain-style clustering step a watchman-class processor runs to turn
+    a raw firehose into a bounded template inventory. Masking is
+    map-side JVM regex; the exchange carries n_templates rows. The
+    oracle applies the IDENTICAL portable regex chain (global-flag
+    regexp_replace in DuckDB ≡ Spark's replace-all default)."""
+    from .operators.textstats import log_template
+
+    ev = t(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("event_type"),
+        F.lit(" uid="),
+        F.col("user_id").cast("string"),
+        F.lit(" "),
+        F.col("props"),
+    )
+    return (
+        ev.select("event_id", "user_id", log_template(line).alias("template"))
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.min("event_id").cast("long").alias("first_event"),
+        )
+    )
+
+
+@register(
+    "alert_volume_anomaly",
+    """WITH hourly AS (
+         SELECT event_type AS key, date_trunc('hour', ts) AS hour,
+                COUNT(*) AS n
+         FROM events GROUP BY 1, 2),
+       win AS (
+         SELECT key, hour, n,
+                COUNT(n) OVER w AS m,
+                SUM(n)   OVER w AS s1,
+                SUM(n*n) OVER w AS s2
+         FROM hourly
+         WINDOW w AS (PARTITION BY key ORDER BY hour
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       SELECT key, hour, n, m,
+              (m >= 3 AND (m*n - s1)*(m*n - s1)*(m-1) > 9*m*(m*s2 - s1*s1))
+                AS anomaly
+       FROM win""",
+)
+def alert_volume_anomaly(spark, sf_dir):
+    """Rolling volume-anomaly alert (operators/analytics.volume_anomaly):
+    per event type, flag hours whose count is >3σ from the mean of the
+    preceding 24 observed hours — evaluated entirely in BIGINT
+    arithmetic ((m·x−s1)²(m−1) > 9·m(m·s2−s1²)) so the flag is
+    bit-identical cross-engine (no sqrt, no float accumulation order).
+    One partial-agg exchange to hourly counts, then a per-key ROWS
+    window over the tiny aggregate."""
+    from .operators.analytics import volume_anomaly
+
+    return volume_anomaly(
+        t(spark, sf_dir, "events"), key_col="event_type", ts_col="ts"
+    )
