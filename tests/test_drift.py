@@ -140,3 +140,37 @@ def test_job_profile_subcommand(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and out["alert"] is True
     assert out["columns"][0]["null_alert"] is True
+
+
+def _cat_slice(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "k string")
+
+
+def test_drift_cat_bins_identical_and_disjoint(spark):
+    a = _cat_slice(spark, ["t1"] * 3 + ["t2"] * 7)
+    b = _cat_slice(spark, ["t3"] * 10)
+    same = drift.total_variation(
+        drift.drift_cat_bins(a, a, F.col("k"))
+    ).collect()[0]
+    assert same["tv"] == 0.0
+    disj = drift.total_variation(
+        drift.drift_cat_bins(a, b, F.col("k"))
+    ).collect()[0]
+    assert disj["tv"] == 1.0
+
+
+def test_drift_cat_bins_new_template_mass(spark):
+    # ref: 50/50 over {t1,t2}; cur: same shares plus a 20%-mass NEW
+    # template — TV = that new mass (0.2): shared templates contribute
+    # |0.5−0.4| each, the new one 0.2, halved → 0.2.
+    ref = _cat_slice(spark, ["t1"] * 5 + ["t2"] * 5)
+    cur = _cat_slice(spark, ["t1"] * 4 + ["t2"] * 4 + ["boom"] * 2)
+    bins = {
+        r["bucket"]: (r["n_ref"], r["n_cur"])
+        for r in drift.drift_cat_bins(ref, cur, F.col("k")).collect()
+    }
+    assert bins == {"t1": (5, 4), "t2": (5, 4), "boom": (0, 2)}
+    tv = drift.total_variation(
+        drift.drift_cat_bins(ref, cur, F.col("k"))
+    ).collect()[0]["tv"]
+    assert tv == 0.2

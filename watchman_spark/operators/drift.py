@@ -59,6 +59,24 @@ def drift_bins(
     )
 
 
+def drift_cat_bins(ref: DataFrame, cur: DataFrame, key: Column) -> DataFrame:
+    """Categorical twin of drift_bins: (bucket, n_ref, n_cur) where the
+    bucket is a discrete key (a log template, an event type, a language
+    tag) instead of a numeric histogram bin. Full outer, zero-filled —
+    a template that appears on only one side contributes its whole mass
+    to the distance, which is exactly the signal a template-drift
+    monitor exists to catch (a NEW error template showing up is drift
+    even when every old template's share is unchanged). Feed the result
+    to total_variation()/psi() unchanged."""
+    h_ref = ref.groupBy(key.alias("bucket")).agg(F.count(F.lit(1)).alias("n_ref"))
+    h_cur = cur.groupBy(key.alias("bucket")).agg(F.count(F.lit(1)).alias("n_cur"))
+    return h_ref.join(h_cur, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+
+
 def total_variation(bins: DataFrame) -> DataFrame:
     """One-row (tv_num, n_ref_total, n_cur_total, tv) from a drift_bins
     table. tv_num = Σ|n_i·M - m_i·N| is exact; tv = tv_num/(2NM)

@@ -1732,3 +1732,68 @@ def alert_volume_anomaly(spark, sf_dir):
     return volume_anomaly(
         t(spark, sf_dir, "events"), key_col="event_type", ts_col="ts"
     )
+
+
+_TEMPLATE_LINE_SQL = """regexp_replace(regexp_replace(
+    event_type || ' uid=' || CAST(user_id AS VARCHAR) || ' ' || props,
+    '[0-9a-f]{8,}', '<hex>', 'g'), '[0-9]+', '<n>', 'g')"""
+
+# fixed calendar split for the drift slices — the events table spans
+# January 2024; a monitor compares "last window" vs "the one before it",
+# and a constant boundary keeps both engines' slices identical by
+# construction (no data-dependent midpoint to disagree on).
+_DRIFT_SPLIT_TS = "2024-01-16"
+
+
+@register(
+    "drift_template_tv",
+    f"""
+WITH lines AS (
+  SELECT ts, {_TEMPLATE_LINE_SQL} AS template FROM events),
+ref AS (SELECT template, COUNT(*) AS n_ref FROM lines
+        WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}' GROUP BY 1),
+cur AS (SELECT template, COUNT(*) AS n_cur FROM lines
+        WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}' GROUP BY 1),
+bins AS (
+  SELECT COALESCE(r.template, c.template) AS bucket,
+         COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+  FROM ref r FULL OUTER JOIN cur c ON r.template = c.template),
+tot AS (SELECT SUM(n_ref) AS N, SUM(n_cur) AS M FROM bins),
+s AS (
+  SELECT CAST(SUM(ABS(n_ref * M - n_cur * N)) AS BIGINT) AS tv_num,
+         CAST(ANY_VALUE(N) AS BIGINT) AS N, CAST(ANY_VALUE(M) AS BIGINT) AS M
+  FROM bins, tot)
+SELECT tv_num, N AS n_ref_total, M AS n_cur_total,
+       ((tv_num * 1000000 - (tv_num * 1000000) % (2 * N * M))
+        / (2 * N * M)) / 1000000.0 AS tv
+FROM s
+""",
+)
+def drift_template_tv(spark, sf_dir):
+    """Template-distribution drift: total-variation distance between the
+    log-template inventories of two time slices — the composition a
+    production monitor actually runs (log_template masking →
+    drift_cat_bins categorical histogram → exact-integer TV). A brand-new
+    template on the current side contributes its whole mass, so novel
+    error shapes register as drift even at tiny volume. Same bit-exact
+    arithmetic as drift_doclen_tv; the exchange carries n_templates rows
+    per side."""
+    from .operators.drift import drift_cat_bins, total_variation
+    from .operators.textstats import log_template
+
+    ev = t(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("event_type"),
+        F.lit(" uid="),
+        F.col("user_id").cast("string"),
+        F.lit(" "),
+        F.col("props"),
+    )
+    lines = ev.select(F.col("ts"), log_template(line).alias("template"))
+    split = F.lit(_DRIFT_SPLIT_TS).cast("timestamp")
+    bins = drift_cat_bins(
+        lines.filter(F.col("ts") < split),
+        lines.filter(F.col("ts") >= split),
+        F.col("template"),
+    )
+    return total_variation(bins)
