@@ -237,3 +237,44 @@ def test_ingest_neardup_candidate_join_linear(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_log_templates_single_exchange_partial_agg(spark):
+    # masking is map-side JVM regex (a Project directly over the scan);
+    # the exact n_users distinct expands to Spark's standard two-level
+    # distinct aggregate — exchange 1 carries (template, user) partials,
+    # exchange 2 the per-template rows — so ≤2 exchanges, both over
+    # already-reduced data, and no Python boundary anywhere.
+    plan = plan_of(spark, "log_templates")
+    assert plan.count("Exchange") <= 2, plan
+    assert plan.count("HashAggregate") >= 2
+    assert "regexp_replace" in plan.split("Exchange")[-1], (
+        "masking must run below the first exchange (map-side)"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_volume_anomaly_window_over_aggregate(spark):
+    # the per-key ROWS window must sort the HOURLY AGGREGATE (n_keys ×
+    # n_hours rows), never raw events: exactly one wide exchange for the
+    # (key, hour) group-by plus the window's key re-partition of the tiny
+    # aggregate — and the Window operator sits above a HashAggregate.
+    plan = plan_of(spark, "alert_volume_anomaly")
+    assert plan.count("Exchange") <= 2, plan
+    assert "Window" in plan
+    assert plan.index("Window") < plan.index("HashAggregate"), (
+        "window must consume the aggregate (aggregate appears below it "
+        "in the printed tree)"
+    )
+
+
+def test_template_drift_joins_aggregated_sides(spark):
+    # the full-outer bins join runs over the two template HISTOGRAMS
+    # (n_templates rows each), after each side's partial→final count —
+    # four HashAggregates (2 per side) feed the join, and no side joins
+    # raw events.
+    plan = plan_of(spark, "drift_template_tv")
+    joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    outer = plan.count("FullOuter")
+    assert outer >= 1, plan
+    assert plan.count("HashAggregate") >= 4
