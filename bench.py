@@ -1120,6 +1120,9 @@ stall episodes arrive on minute timescales no launch gate can see past.
 Every completed cycle stays in the pooled headline regardless; post-hoc
 exclusion would be cherry-picking, and the weather-gated bullet above is
 the honest version of that view (same-cycle probes, secondary only).
+Round-5 close: the final pre-launch probe read 0.327 (the deepest stall
+window observed all round), so run 18 was not launched — the pool ends
+at the runs recorded above.
 
 Driver-bench reading note (round 5): the per-round BENCH_r5 numbers for
 dedup_minhash_lsh / dedup_lsh_clusters step UP vs BENCH_r4 by design, not
