@@ -174,3 +174,44 @@ def test_drift_cat_bins_new_template_mass(spark):
         drift.drift_cat_bins(ref, cur, F.col("k"))
     ).collect()[0]["tv"]
     assert tv == 0.2
+
+
+def test_job_templates_subcommand(spark, tmp_path, capsys):
+    """job.py templates: baseline run records the inventory without
+    alerting; replay on the unchanged table appends nothing; an ingest
+    introducing a NEW template shape exits 1 and names it."""
+    import json as _json
+
+    from watchman_spark.job import main as job_main
+    from watchman_spark.sources.warehouse import ParquetWarehouse
+
+    wh_root = str(tmp_path / "wh")
+    wh = ParquetWarehouse(wh_root)
+    batch1 = spark.createDataFrame(
+        [("req 12 took 93ms",), ("req 99 took 5ms",), ("login ok",)],
+        "text string",
+    )
+    wh.write_append(batch1, "logs")
+    argv = ["templates", "--warehouse", wh_root, "--table", "logs"]
+
+    rc = job_main(argv)
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["baseline"] is True
+    assert out["n_templates"] == 2 and out["n_novel"] == 2
+
+    # replay on the unchanged table: nothing novel, ledger untouched
+    ledger_snap = wh.snapshot("logs_template_ledger")
+    rc = job_main(argv)
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["n_novel"] == 0 and out["alert"] is False
+    assert wh.snapshot("logs_template_ledger") == ledger_snap
+
+    # a new template shape arrives → gate trips and names it
+    wh.write_append(
+        spark.createDataFrame([("OOM killed worker 7",)], "text string"),
+        "logs",
+    )
+    rc = job_main(argv)
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["alert"] is True and out["n_novel"] == 1
+    assert out["novel_sample"][0]["template"] == "OOM killed worker <n>"

@@ -302,6 +302,64 @@ def cmd_profile(args) -> int:
     return 1 if alert else 0
 
 
+def cmd_templates(args) -> int:
+    """Log-template inventory monitor as an operational job: mask
+    --text-col down to templates (operators/textstats.log_template), diff
+    the inventory against the committed template ledger, append any NOVEL
+    templates with the snapshot where they first appeared, and exit 1
+    when more novel templates show up than --max-novel allows. The ledger
+    makes the monitor incremental and replay-safe: the first run
+    baselines (appends everything, never alerts), re-running on an
+    unchanged table appends nothing, and the next ingest's new error
+    shape trips the gate before anyone greps raw logs. The templates
+    exchange carries n_templates rows; the raw text never shuffles."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from .operators.textstats import log_template
+
+    spark = _session(args)
+    wh = ParquetWarehouse(args.warehouse)
+    snap = wh.snapshot(args.table)
+    df = wh.read(spark, args.table, snapshot=snap)
+    inv = (
+        df.select(log_template(F.col(args.text_col)).alias("template"))
+        .groupBy("template")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ledger_table = f"{args.table}_template_ledger"
+    baseline = wh.snapshot(ledger_table) == 0
+    known = wh.read(
+        spark, ledger_table,
+        schema=StructType.fromDDL("template string, first_snapshot bigint"),
+    )
+    novel = inv.join(known.select("template"), "template", "left_anti").persist()
+    n_novel = novel.count()
+    sample = novel.orderBy(F.col("n").desc(), "template").limit(20).collect()
+    if n_novel:
+        wh.write_append(
+            novel.select(
+                "template", F.lit(snap).cast("long").alias("first_snapshot")
+            ),
+            ledger_table,
+            lineage={"source_snapshot": snap},
+        )
+    novel.unpersist()
+    alert = (not baseline) and n_novel > args.max_novel
+    print(json.dumps({
+        "table": args.table,
+        "snapshot": snap,
+        "n_templates": inv.count(),
+        "n_novel": n_novel,
+        "baseline": baseline,
+        "novel_sample": [
+            {"template": r["template"], "n": r["n"]} for r in sample
+        ],
+        "alert": alert,
+    }))
+    return 1 if alert else 0
+
+
 def cmd_compact(args) -> int:
     """Small-file compaction as an operational job: rewrite a table's live
     data dirs into one compact layout (replace commit; row count verified
@@ -452,6 +510,18 @@ def main(argv: list[str] | None = None) -> int:
                      help="exit 1 if any column's null fraction >= this")
     _add_common(ppf)
     ppf.set_defaults(fn=cmd_profile)
+
+    ptm = sub.add_parser(
+        "templates",
+        help="log-template inventory monitor (alert on novel templates)",
+    )
+    ptm.add_argument("--table", required=True)
+    ptm.add_argument("--text-col", default="text", dest="text_col")
+    ptm.add_argument("--max-novel", type=int, default=0, dest="max_novel",
+                     help="exit 1 if more than this many novel templates "
+                          "appear (after the baseline run)")
+    _add_common(ptm)
+    ptm.set_defaults(fn=cmd_templates)
 
     pc = sub.add_parser(
         "compact", help="rewrite a table's small files into one compact layout"
