@@ -21,8 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from watchman_spark import queries as _registry  # noqa: E402
 from watchman_spark.config import PipelineConfig  # noqa: E402
-from watchman_spark.plans.pipeline import build_routed  # noqa: E402
 from watchman_spark.operators.aggregate import per_sink_counts  # noqa: E402
+from watchman_spark.operators.enrich import enrich  # noqa: E402
+from watchman_spark.operators.parse import with_parsed  # noqa: E402
+from watchman_spark.operators.route import with_sink  # noqa: E402
 from watchman_spark.queries_fn import _line_expr  # noqa: E402
 from watchman_spark.synth import role_dim, tool_dim  # noqa: E402
 
@@ -50,10 +52,29 @@ def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = PipelineConfig(warehouse="/unused", n_buckets=32)
-    routed = build_routed(
-        _events_as_transcripts(spark, sf_dir), cfg, role_dim(spark), tool_dim(spark)
+    # r6: the per-sink aggregate reads only (sink, conv_id), so the
+    # bucket repartition + turn-order sort that build_routed appends for
+    # the WRITE path is pure cost here — and keeping it forces the
+    # row_number() window (turn_idx) to execute, dragging a second
+    # full exchange on user_id into the plan. Building the map-side
+    # prefix only (parse → enrich → sink-tag) lets Catalyst prune
+    # turn_idx and its window entirely: the aggregate is the single
+    # exchange left (guide §2.4 — remove shuffles outright). Routing
+    # semantics are untouched (same parse, same routes, same oracle).
+    tagged = with_sink(
+        enrich(
+            with_parsed(
+                _events_as_transcripts(spark, sf_dir),
+                cfg.patterns,
+                engine=cfg.parse_engine,
+            ),
+            role_dim(spark),
+            tool_dim(spark),
+        ),
+        routes=cfg.routes,
+        default_sink=cfg.default_sink,
     )
-    return per_sink_counts(routed)
+    return per_sink_counts(tagged)
 
 
 # the flagship is itself oracle-checked: the router's sink decision (via

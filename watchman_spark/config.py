@@ -258,17 +258,20 @@ class PipelineConfig:
     default_sink: str = DEFAULT_SINK
     n_buckets: int = 32  # conv_id hash buckets = checkpoint/work unit
     # "pandas" (Arrow iterator UDF, one C-level str.extract per pattern)
-    # | "jvm" (rlike + regexp_extract; zero Python boundary). Round-3
-    # full-pipeline A/B at 9.4M turns: the two are within host drift
-    # (median cycle ratio 1.08 — the round-1 "~5x" parse-only gap does not
-    # survive once the write stage dominates). Default stays pandas
-    # because its per-pattern cost is one extract pass regardless of
-    # group count, while the JVM path re-executes the regex once per
-    # capture group — with production-sized registries (tens of patterns,
-    # many groups) the JVM path's cost grows with total groups. Choose
-    # "jvm" to eliminate Python worker processes entirely (one less
-    # moving part per executor) when the registry is small.
-    parse_engine: str = "pandas"
+    # | "jvm" (rlike + regexp_extract; zero Python boundary). Round-6
+    # re-measure at 9.4M turns, 32 cores, with the post-shuffle stage
+    # isolated (noop sink): jvm 4.0s vs pandas 8.3s for the identical
+    # parse→enrich→route projection — at full core counts the 32 Arrow
+    # Python workers double the process pressure on one box, and the
+    # r6 shuffle/sort fixes shrank everything AROUND the parse, so the
+    # engines are no longer within drift (round 3 measured them even
+    # because the write stage dominated). Default is now jvm for the
+    # small default registry (2 patterns / 7 groups). The trade-off is
+    # unchanged and documented: the JVM path re-executes the regex once
+    # per capture group, so for production registries with tens of
+    # patterns/groups choose engine="pandas" (one C-level extract pass
+    # per pattern regardless of group count) — it is one config key.
+    parse_engine: str = "jvm"
     run_id: str = "run-0"
     # cap buckets per run (None = all pending): bounds a run's blast radius
     # at 10^12 scale and lets operators drip through the backlog

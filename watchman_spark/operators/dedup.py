@@ -84,12 +84,85 @@ def word_shingles(text: Column, k: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _shingles_of_words(words: Column, k: int) -> Column:
+    """Distinct word k-grams from an ALREADY-SPLIT words column. The words
+    argument must be a plain column reference (attribute), never an inline
+    split(...) expression: Catalyst substitutes an inline subtree into the
+    per-element lambda, so every one of the n-k+1 shingle slices would
+    re-split the whole text — O(words²) per document (measured 34s → 8s
+    for the sf1.0 planted corpus when staged; guide §1.2 "per-task work").
+
+    The n >= k guard must live INSIDE the expression even though callers
+    filter short docs out first: InferFiltersFromGenerate adds a
+    size(shingles) > 0 predicate whose common-subexpression can evaluate
+    the transform BEFORE the row filter, and sequence(0, n-k) with n < k
+    walks into slice(start=0) — a runtime error, not just waste."""
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            )
+        ),
+    )
+
+
+def _words_staged(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, __w: array<string>) with the < k-words docs already dropped —
+    the staged-projection base both shingle shapes build on. The filter
+    runs on size(__w) (cheap) instead of size(shingles) so the shingle
+    expression is never evaluated twice per row by predicate pushdown."""
+    return df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ", -1).alias("__w")
+    ).filter(F.size("__w") >= k)
+
+
 def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, shingle) exploded table — the base for jaccard and minhash."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    return _words_staged(df, id_col, text_col, k).select(
+        "id", F.explode(_shingles_of_words(F.col("__w"), k)).alias("shingle")
     )
+
+
+def _shingle_arrays(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, sh: array<string>) — one row per document that HAS shingles
+    (docs with fewer than k words are dropped, mirroring what the exploded
+    shingle_table's groupBy implies). The un-exploded form: the per-doc
+    set sizes and the exact-jaccard verify read it directly, so the r6
+    dedup paths shuffle candidate PAIRS instead of (pair × shingle)
+    exploded rows (optimization guide §2.3/§2.4)."""
+    return _words_staged(df, id_col, text_col, k).select(
+        "id", _shingles_of_words(F.col("__w"), k).alias("sh")
+    )
+
+
+def _sigs_from_shingle_arrays(
+    docs: DataFrame, n_hashes: int, portable: bool
+) -> DataFrame:
+    """(id, sig) from a (id, sh) shingle-array table: explode + groupBy
+    with n_hashes MIN aggregates. Measured FASTER than the tempting
+    map-side array_min(transform(...)) form (3.6s vs 9.8s at sf1.0):
+    higher-order-function lambdas are evaluated interpretively per
+    element, while Generate + hash-aggregate both run in whole-stage
+    codegen, and the map-side partial aggregation collapses the exchange
+    to one partial row per doc before it ships (guide §2.3)."""
+    sh = docs.select("id", F.explode("sh").alias("shingle"))
+    if portable:
+        mins = [
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))
+            ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
 
 def ngram_jaccard_pairs(
@@ -110,12 +183,36 @@ def ngram_jaccard_pairs(
     pass ``max_df=None`` explicitly for exact full-set jaccard semantics
     (tests/test_dedup.py plants a stop-shingle and asserts true-pair recall
     is unchanged under the default cap)."""
+    if max_df is None:
+        # EXACT mode, r6 shuffle-lean shape (guide §2.3 "shuffle keys and
+        # metadata instead of payloads"): candidates come from a self-join
+        # on the 8-byte xxhash64 of the shingle instead of the ~60-byte
+        # shingle string, and the exact jaccard is verified map-side via
+        # array_intersect over the per-doc shingle ARRAYS — the old shape
+        # shuffled (candidate-pair × shingle) exploded rows through a
+        # count exchange. A hash collision can only ADD a candidate pair,
+        # and the explicit shared>0 filter plus the exact array verify
+        # drop it again, so the output is row-identical (property-pinned
+        # in tests/test_props.py::test_ngram_jaccard_exact_mode...).
+        docs = _reused(_shingle_arrays(df, id_col, text_col, k))
+        # explode the strings, hash in the SAME codegen stage: Generate +
+        # xxhash64 both compile, while hashing inside a transform() lambda
+        # would be evaluated interpretively per element
+        sh = docs.select("id", F.explode("sh").alias("shingle")).select(
+            "id", F.xxhash64("shingle").alias("h")
+        )
+        a, b = sh.alias("a"), sh.alias("b")
+        candidates = (
+            a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        return _verify_pairs_exact(candidates, docs, threshold)
     base = shingle_table(df, id_col, text_col, k)
-    if max_df is not None:
-        # persist BEFORE the df-count + anti-join: both sides of
-        # _drop_hot_keys read the shingle table, and without the persist
-        # the full explode would execute twice
-        base = _drop_hot_keys(_reused(base), ["shingle"], max_df)
+    # persist BEFORE the df-count + anti-join: both sides of
+    # _drop_hot_keys read the shingle table, and without the persist
+    # the full explode would execute twice
+    base = _drop_hot_keys(_reused(base), ["shingle"], max_df)
     sh = _reused(base)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -138,6 +235,35 @@ def ngram_jaccard_pairs(
     )
 
 
+def _verify_pairs_exact(
+    candidates: DataFrame, docs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-jaccard verify of candidate (id_a, id_b) pairs against the
+    (id, sh) shingle-array table: two id equi-joins fetch the arrays, then
+    shared = |A∩B| and jaccard are pure map-side expressions. Replaces the
+    old (pair × shingle) explode-join-count verify — the shuffle now
+    carries one row per candidate pair instead of ~2·|sh| rows per pair.
+    shared must be > 0 (a pair that shares no shingle is a hash-collision
+    or banding artifact, never a near-duplicate) so the candidate
+    generator may over-approximate freely."""
+    a = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("__sh_a"))
+    b = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("__sh_b"))
+    shared = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    na, nb = F.size("__sh_a"), F.size("__sh_b")
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            shared.alias("__shared"),
+            F.round(shared / (na + nb - shared), 4).alias("jaccard"),
+        )
+        .filter((F.col("__shared") > 0) & (F.col("jaccard") >= threshold))
+        .drop("__shared")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -155,22 +281,17 @@ def minhash_signatures(
     needs a uniform hash with a total order, and md5-hex is bit-identical
     in every engine — the same cross-engine trick that made the LSH plane
     literals oracle-checkable (similarity.plane_signs). ~2-3x slower; use
-    the portable form for cross-engine audits, the default in production."""
-    sh = shingle_table(df, id_col, text_col, k)
-    if portable:
-        mins = [
-            F.min(
-                F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))
-            ).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-    else:
-        mins = [
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-    agg = sh.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+    the portable form for cross-engine audits, the default in production.
+
+    r6: the shingle base is the staged-words form (_words_staged — the
+    old inline word_shingles re-split the text once per shingle, O(words²)
+    per doc); the explode + groupBy(n_hashes × MIN) aggregation itself is
+    kept deliberately — see _sigs_from_shingle_arrays for the measured
+    codegen-vs-lambda comparison. Values are oracle-pinned by the
+    dedup_minhash_lsh_portable / dedup_ingest_match_portable queries."""
+    return _sigs_from_shingle_arrays(
+        _shingle_arrays(df, id_col, text_col, k), n_hashes, portable
+    )
 
 
 def band_digest_table(
@@ -236,7 +357,17 @@ def minhash_lsh_pairs(
     jaccard verify below is unaffected (full shingle sets). The capped path
     is the DEFAULT; pass ``max_bucket=None`` to opt out of the bound.
     """
-    sigs = _reused(minhash_signatures(df, id_col, text_col, k, n_hashes, portable))
+    # r6 shape (guide §2.3/§2.4, measured in OPTIMIZATION_r06.md): ONE
+    # persisted (id, shingle-array) table feeds BOTH the signature/banding
+    # side and the exact verify — the old shape computed the shingle
+    # table twice from raw text (once under the signature groupBy, once
+    # for the verify joins; each with the O(words²) inline-split shingle
+    # expression) and pushed (candidate × shingle) exploded rows through a
+    # count exchange. Now: staged shingle arrays once, codegen'd
+    # explode+groupBy signatures from them, and a verify that is two id
+    # equi-joins + a map-side array_intersect.
+    docs = _reused(_shingle_arrays(df, id_col, text_col, k))
+    sigs = _reused(_sigs_from_shingle_arrays(docs, n_hashes, portable))
     banded = band_digest_table(sigs, n_hashes, bands, portable)
     # (measured, round 4) persisting `banded` before the cap — so the
     # hot-key count and the candidate join share one materialization — is a
@@ -257,33 +388,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verify: jaccard over true shingle sets, only for candidates
-    sh = _reused(shingle_table(df, id_col, text_col, k))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ca = candidates.join(sh.withColumnRenamed("id", "id_a"), "id_a").select(
-        "id_a", "id_b", "shingle"
-    )
-    cb = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("shingle_b"))
-    shared = (
-        ca.join(
-            cb, (ca.id_b == cb.id_b) & (ca.shingle == cb.shingle_b)
-        )
-        .groupBy("id_a", ca.id_b.alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4).alias(
-                "jaccard"
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    # (banded pairs always share their band's signature slice, but the
+    # shared>0 guard inside _verify_pairs_exact keeps the semantics
+    # airtight even for a slice-collision pair with disjoint sets — such a
+    # pair scores jaccard 0 and is dropped exactly as the old
+    # explode-count verify dropped it by producing no joined rows)
+    return _verify_pairs_exact(candidates, docs, threshold)
 
 
 def content_hashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -571,7 +681,12 @@ def resolve_components(
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    edges = _reused(edges)
+    # r6: pre-partition the persisted edge table BY THE JOIN KEY — its
+    # HashPartitioning(src) satisfies every iteration's join requirement,
+    # so only the (tiny) label table is exchanged per iteration instead of
+    # re-shuffling |E| edge rows every round (guide §2.4: two operations
+    # keyed the same way share one exchange).
+    edges = _reused(edges.repartition("src"))
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -579,24 +694,29 @@ def resolve_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        neighbor_comp = edges.join(
-            labels.select(F.col("id").alias("src"), "comp"), "src"
-        ).select(F.col("dst").alias("id"), "comp")
+        neighbor_comp = (
+            edges.join(labels.select(F.col("id").alias("src"), "comp"), "src")
+            .select(F.col("dst").alias("id"), "comp")
+            # neighbor contributions carry no previous label (null of the
+            # id/comp type — ids may be strings, so never hard-code long)
+            .withColumn("prev", F.lit(None).cast(labels.schema["comp"].dataType))
+        )
+        # r6: the previous label rides the union as a `prev` column (each
+        # id has exactly one self row, so MIN(prev) recovers it), which
+        # folds the convergence check into the SAME aggregation — the old
+        # shape ran a separate new⋈old join job per iteration. Labels are
+        # monotone non-increasing, so "changed" == "comp < prev"; the
+        # count is a scan of the just-checkpointed rows, no join.
         new_labels = (
-            neighbor_comp.unionByName(labels)
+            neighbor_comp.unionByName(
+                labels.select("id", "comp", F.col("comp").alias("prev"))
+            )
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.min("prev").alias("prev"))
             .localCheckpoint(eager=True)  # truncate lineage each round
         )
-        # labels are monotone non-increasing, so "changed" == "decreased";
-        # one tiny count job per iteration is the convergence check
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("comp") < F.col("prev")).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     else:

@@ -46,13 +46,44 @@ def bm25_scores(
     Robertson/Okapi form with the always-positive idf. dl/avgdl is
     computed as the exact integer ratio dl·N/total_tokens (one double
     division, no pre-rounded average)."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ", -1)).alias("dl"),
-        F.explode(F.split(F.col(text_col), " ", -1)).alias("term"),
-    ).filter(F.col("term").isin(terms))
-    tf = toks.groupBy("doc_id", "dl", "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    # r6 shape (guide §2.3 "aggregate before you shuffle", §2.4): the
+    # (doc, term) term-frequency table needs NO exchange at all for a
+    # |terms|-sized query — per-term occurrence counts are map-side
+    # size(filter(tokens, = term)) passes over the token array, unpivoted
+    # with stack() and filtered to tf > 0. Value-identical to the old
+    # explode → filter → groupBy(doc, dl, term) (count of equal tokens),
+    # minus the full token-stream Generate and its (doc_id, term)
+    # exchange. tf is persisted because BOTH the per-term df aggregate and
+    # the scoring join read it (one scan instead of two).
+    from pyspark.storagelevel import StorageLevel
+
+    tokens = F.split(F.col(text_col), " ", -1)
+
+    def _eq(term: str):
+        # closure, not a default-arg capture: a two-parameter lambda would
+        # be read by F.filter as (element, index)
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(tokens, _eq(t))).alias(f"__tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    stack_args = ", ".join(
+        "'{}', __tf_{}".format(t.replace("'", "''"), i) for i, t in enumerate(terms)
+    )
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens).alias("dl"),
+            *tf_cols,
+        )
+        .selectExpr(
+            "doc_id",
+            "dl",
+            f"stack({len(terms)}, {stack_args}) AS (term, tf)",
+        )
+        .filter(F.col("tf") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     corpus = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),

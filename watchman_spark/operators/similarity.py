@@ -90,9 +90,31 @@ def quantize_embeddings(
     out_col: str = "q",
     scale_col: str = "q_scale",
 ) -> DataFrame:
-    """Append int8-quantized vectors + dequant scales (see quantize_vec)."""
-    q, scale = quantize_vec(F.col(vec_col))
-    return df.withColumn(out_col, q).withColumn(scale_col, scale)
+    """Append int8-quantized vectors + dequant scales (see quantize_vec).
+
+    r6: maxabs is materialized as its own projection step BEFORE the
+    per-element transform references it. The single-Column quantize_vec
+    form inlines the whole array_max(transform(v, abs)) subtree into every
+    element's lambda — O(dim²) work per row (measured ~8s for 20k×64-dim
+    vectors at sf1.0; Catalyst does not common-subexpression-eliminate
+    inside higher-order-function lambdas). Same arithmetic, same values.
+    """
+    maxabs = F.array_max(F.transform(as_double(F.col(vec_col)), F.abs))
+    with_max = df.withColumn("__maxabs", maxabs)
+    q = F.when(
+        F.col("__maxabs") == 0.0,
+        F.transform(as_double(F.col(vec_col)), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            as_double(F.col(vec_col)),
+            lambda x: F.round(x * 127.0 / F.col("__maxabs")).cast("int"),
+        )
+    )
+    return (
+        with_max.withColumn(out_col, q)
+        .withColumn(scale_col, F.col("__maxabs") / 127.0)
+        .drop("__maxabs")
+    )
 
 
 def brute_force_topk_quantized(
@@ -106,17 +128,27 @@ def brute_force_topk_quantized(
     the QUANTIZED arrays (scale-invariant, no dequant). Same plan shape as
     the float path — broadcast 1-row query, TakeOrderedAndProject — at a
     quarter of the scan bytes once the corpus is stored quantized."""
-    q, _ = quantize_vec(F.col(vec_col))
-    base = df.select(F.col(id_col), q.alias("v"))
+    # r6: quantize via the column-materialized path (one maxabs per row,
+    # not per element — see quantize_embeddings) and stage the double
+    # arrays + the corpus-side norm as their own projections so the cosine
+    # does not re-derive the quantized array 4× per row. Same expression
+    # arithmetic; same values.
+    base = quantize_embeddings(df, vec_col=vec_col).select(
+        F.col(id_col), F.col("q").alias("v")
+    )
     if isinstance(query_vec, DataFrame):
         scored = base.crossJoin(F.broadcast(query_vec))
     else:
         scored = base.withColumn("q", query_vec)
-    qd = F.transform(F.col("q"), lambda x: x.cast("double"))
-    vd = F.transform(F.col("v"), lambda x: x.cast("double"))
+    staged = scored.select(
+        F.col(id_col),
+        F.transform(F.col("v"), lambda x: x.cast("double")).alias("__vd"),
+        F.transform(F.col("q"), lambda x: x.cast("double")).alias("__qd"),
+    )
     return (
-        scored.select(
-            F.col(id_col), F.round(cosine(vd, qd), 4).alias("cos_sim")
+        staged.select(
+            F.col(id_col),
+            F.round(cosine(F.col("__vd"), F.col("__qd")), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
