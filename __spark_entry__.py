@@ -53,13 +53,15 @@ def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = PipelineConfig(warehouse="/unused", n_buckets=32)
     # r6: the per-sink aggregate reads only (sink, conv_id), so the
-    # bucket repartition + turn-order sort that build_routed appends for
-    # the WRITE path is pure cost here — and keeping it forces the
-    # row_number() window (turn_idx) to execute, dragging a second
-    # full exchange on user_id into the plan. Building the map-side
-    # prefix only (parse → enrich → sink-tag) lets Catalyst prune
-    # turn_idx and its window entirely: the aggregate is the single
-    # exchange left (guide §2.4 — remove shuffles outright). Routing
+    # bucket repartition that build_routed appends for the WRITE path is
+    # pure cost here — a full exchange of every column feeding an
+    # aggregate that immediately re-partitions by sink. (Catalyst's
+    # EliminateSorts had already dropped the turn sort — and with it the
+    # row_number window — below the aggregate, but it cannot remove a
+    # user-requested repartition.) Building the map-side prefix only
+    # (parse → enrich → sink-tag) leaves the aggregate's own two-phase
+    # exchanges as the only shuffles (plan: plans/r06/pipeline_per_sink_*,
+    # 3 Exchange → 2; guide §2.4 — remove shuffles outright). Routing
     # semantics are untouched (same parse, same routes, same oracle).
     tagged = with_sink(
         enrich(

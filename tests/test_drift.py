@@ -215,3 +215,17 @@ def test_job_templates_subcommand(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and out["alert"] is True and out["n_novel"] == 1
     assert out["novel_sample"][0]["template"] == "OOM killed worker <n>"
+
+    # a tripped gate must NOT self-clear (r5 advice): the alerting run
+    # skipped the ledger append, so a blind rerun/CI retry alerts again
+    rc = job_main(argv)
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["alert"] is True and out["n_novel"] == 1
+
+    # --ack commits the reviewed novel set; the next run is quiet
+    rc = job_main(argv + ["--ack"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["alert"] is True
+    rc = job_main(argv)
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["n_novel"] == 0 and out["alert"] is False

@@ -277,4 +277,13 @@ def test_template_drift_joins_aggregated_sides(spark):
     joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
     outer = plan.count("FullOuter")
     assert outer >= 1, plan
+    # EVERY shuffled join in the plan must be the full-outer histogram
+    # join — a non-outer join would mean a side joined raw events
+    # (r5 advice: `joins` was computed but never asserted). The plan
+    # string repeats the cached bins subtree under each
+    # InMemoryTableScan, so assert the join/outer counts MATCH rather
+    # than a literal count of one; the single-execution property comes
+    # from the r6 persist in operators/drift.total_variation.
+    assert joins == outer, plan
+    assert "InMemoryTableScan" in plan, plan  # bins computed once, reused
     assert plan.count("HashAggregate") >= 4

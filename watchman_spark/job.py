@@ -311,8 +311,11 @@ def cmd_templates(args) -> int:
     makes the monitor incremental and replay-safe: the first run
     baselines (appends everything, never alerts), re-running on an
     unchanged table appends nothing, and the next ingest's new error
-    shape trips the gate before anyone greps raw logs. The templates
-    exchange carries n_templates rows; the raw text never shuffles."""
+    shape trips the gate before anyone greps raw logs. A tripped gate
+    does NOT append — the alert persists across reruns until an operator
+    acknowledges with --ack (r5 advice: a CI retry must not silently
+    clear it). The templates exchange carries n_templates rows; the raw
+    text never shuffles."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -336,7 +339,13 @@ def cmd_templates(args) -> int:
     novel = inv.join(known.select("template"), "template", "left_anti").persist()
     n_novel = novel.count()
     sample = novel.orderBy(F.col("n").desc(), "template").limit(20).collect()
-    if n_novel:
+    alert = (not baseline) and n_novel > args.max_novel
+    # a TRIPPED gate must persist until acknowledged (r5 advice): appending
+    # the novel templates on the alerting run would make any blind rerun
+    # (CI retry, cron) exit 0 with nobody having looked. The append happens
+    # on clean runs and baselines; --ack commits the novel set despite the
+    # alert (the operator has reviewed it), after which reruns are quiet.
+    if n_novel and (not alert or args.ack):
         wh.write_append(
             novel.select(
                 "template", F.lit(snap).cast("long").alias("first_snapshot")
@@ -345,7 +354,6 @@ def cmd_templates(args) -> int:
             lineage={"source_snapshot": snap},
         )
     novel.unpersist()
-    alert = (not baseline) and n_novel > args.max_novel
     print(json.dumps({
         "table": args.table,
         "snapshot": snap,
@@ -431,7 +439,9 @@ def main(argv: list[str] | None = None) -> int:
     pr = sub.add_parser("run", help="run the batch pipeline (resumable)")
     _add_common(pr)
     pr.add_argument("--buckets", type=int, default=32)
-    pr.add_argument("--parse-engine", choices=["pandas", "jvm"], default="pandas")
+    # default tracks PipelineConfig.parse_engine (jvm since r6 — see
+    # config.py for the measured engine trade)
+    pr.add_argument("--parse-engine", choices=["pandas", "jvm"], default="jvm")
     pr.add_argument(
         "--patterns",
         default=None,
@@ -520,6 +530,11 @@ def main(argv: list[str] | None = None) -> int:
     ptm.add_argument("--max-novel", type=int, default=0, dest="max_novel",
                      help="exit 1 if more than this many novel templates "
                           "appear (after the baseline run)")
+    ptm.add_argument("--ack", action="store_true",
+                     help="acknowledge a tripped gate: commit the novel "
+                          "templates to the ledger even while alerting, so "
+                          "the NEXT run is quiet (without it the alert "
+                          "persists across reruns)")
     _add_common(ptm)
     ptm.set_defaults(fn=cmd_templates)
 

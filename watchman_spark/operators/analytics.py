@@ -193,7 +193,11 @@ def volume_anomaly(
 
         (m·x − s1)² · (m−1)  >  T² · m · (m·s2 − s1²)
 
-    — every term a BIGINT. Zero-variance history flags ANY deviation
+    — every term an exact integer, computed as decimal(38,0) (128-bit)
+    rather than BIGINT: Spark's non-ANSI long products wrap silently at
+    hourly counts ≳2.6e7 while DuckDB's SUM promotes to HUGEINT, so the
+    BIGINT form diverged between engines exactly at scale (r5 advice).
+    Zero-variance history flags ANY deviation
     (z is infinite there), which is the wanted semantics for a flatline
     counter that suddenly moves. Hours with fewer than ``min_history``
     preceding observations never flag (cold start).
@@ -211,12 +215,21 @@ def volume_anomaly(
     ).agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("key").orderBy("hour").rowsBetween(-window, -1)
     m = F.count("n").over(w)
-    s1 = F.sum("n").over(w)
-    s2 = F.sum(F.col("n") * F.col("n")).over(w)
-    dev = m * F.col("n") - s1
+    # r5 advice fix: the inequality's products wrap silently in Spark's
+    # non-ANSI BIGINT once hourly counts reach ~2.6e7 (dev²·(m−1) ≈
+    # 576x²·23 > 2⁶³), while DuckDB's SUM promotes to HUGEINT — so the
+    # documented bit-identical guarantee would break exactly at the scale
+    # the docs claim. decimal(38,0) (exact, 128-bit, supported by both
+    # engines) restores wrap-free arithmetic end-to-end; at small counts
+    # the values are unchanged (exact integers either way).
+    nd = F.col("n").cast("decimal(38,0)")
+    md = m.cast("decimal(38,0)")
+    s1 = F.sum(nd).over(w)
+    s2 = F.sum(nd * nd).over(w)
+    dev = md * nd - s1
     anomaly = (m >= F.lit(min_history)) & (
-        dev * dev * (m - F.lit(1))
-        > F.lit(z2_threshold) * m * (m * s2 - s1 * s1)
+        dev * dev * (md - F.lit(1))
+        > F.lit(z2_threshold) * md * (md * s2 - s1 * s1)
     )
     return hourly.select(
         "key", "hour", "n", m.alias("m"), anomaly.alias("anomaly")

@@ -88,7 +88,17 @@ def total_variation(bins: DataFrame) -> DataFrame:
     N·M ≲ 4.6e12 — ample for any windowed monitoring slice (10^6 docs a
     side). Full-corpus 10^12-row sides overflow the exact path; there,
     drift runs on sampled or windowed slices (which is what a monitor
-    does anyway), or on the double-valued psi() below."""
+    does anyway), or on the double-valued psi() below.
+
+    r6: ``bins`` is persisted — it feeds BOTH the totals aggregate and
+    the scaled sum, and without the persist the entire upstream (two
+    histogram scans + the full-outer join) executed twice per statistic
+    (visible as two FullOuter SortMergeJoins in the old executed plan;
+    plan-asserted single-join in tests/test_plans.py). The table is
+    n_buckets rows — the persist is metadata-sized."""
+    from pyspark.storagelevel import StorageLevel
+
+    bins = bins.persist(StorageLevel.MEMORY_AND_DISK)
     totals = bins.agg(
         F.sum("n_ref").alias("N"), F.sum("n_cur").alias("M")
     )
@@ -164,7 +174,11 @@ def psi(bins: DataFrame, epsilon: float = 1e-6) -> DataFrame:
     empty on one side otherwise makes the index infinite). Conventional
     reading: <0.1 stable, 0.1-0.25 moderate shift, >0.25 action.
     ln() is engine-rounded, so this is the pytest-pinned twin of the
-    exactly-portable total_variation."""
+    exactly-portable total_variation. Persisted for the same
+    two-consumer reason as total_variation."""
+    from pyspark.storagelevel import StorageLevel
+
+    bins = bins.persist(StorageLevel.MEMORY_AND_DISK)
     totals = bins.agg(F.sum("n_ref").alias("N"), F.sum("n_cur").alias("M"))
     w = bins.crossJoin(F.broadcast(totals)).select(
         (F.col("n_ref") / F.col("N") + epsilon).alias("p"),

@@ -54,6 +54,15 @@ def scd2_enrich(
     intervals disjoint per key (the SCD2 invariant; half-open intervals
     make adjacent versions safely non-overlapping at the boundary)."""
     dim_key = dim_key or fact_key
+    attrs_set = set(dim.columns) - {dim_key, valid_from, valid_to}
+    clash = sorted(attrs_set & set(facts.columns))
+    if clash:
+        raise ValueError(
+            f"scd2_enrich: dim attribute(s) {clash} collide with fact "
+            "columns — rename them on one side (appending them verbatim "
+            "would create duplicate column names, the never-surprise "
+            "contract of enrich())"
+        )
     f, d = facts.alias("__f"), dim.alias("__d")
     cond = (
         (F.col(f"__f.{fact_key}") == F.col(f"__d.{dim_key}"))
