@@ -185,3 +185,41 @@ def test_job_audit_subcommand(spark, wh):
     from watchman_spark.job import main as job_main
 
     assert job_main(["audit", "--warehouse", wh.root]) == 0
+
+
+def test_builtin_digest_equals_grouped_map(spark):
+    """r6 optimization pin: the udf_conv_digest query's built-in
+    sha2(array_join(array_sort(collect_list(struct)))) form must stay
+    byte-identical to the grouped-map applyInPandas canonicalization it
+    replaced (guide §4.1) — same ordered-sequence digest semantics as
+    operators/invariants.conv_digests, keyed by user instead of conv."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from watchman_spark.queries_fn import udf_conv_digest
+
+    sf_dir = "/root/testdata/sf0.01"
+    new = udf_conv_digest(spark, sf_dir)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+
+    def digest(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        joined = ",".join(pdf["event_type"])
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "digest": [hashlib.sha256(joined.encode()).hexdigest()],
+                "n": [len(pdf)],
+            }
+        )
+
+    old = ev.groupBy("user_id").applyInPandas(
+        digest, "user_id long, digest string, n long"
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0

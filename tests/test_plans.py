@@ -166,6 +166,31 @@ def test_dedup_resolve_checkpointed_iterations(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
+def test_resolve_edge_build_single_exchange_single_scan(spark):
+    """r6: the symmetrized-edge build (a) reads the pair plan ONCE — the
+    two directions come from an explode, not a union whose branches would
+    each re-execute the full pair-generation subplan — and (b) shuffles
+    ONCE: repartition("src") then dropDuplicates(["src","dst"]) —
+    HashPartitioning(src) satisfies the (src, dst) dedup clustering (src
+    is a subset of the keys), so the aggregate adds no second exchange.
+    The old unionByName + distinct().repartition() shape did both twice."""
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    deduped = edges.repartition("src").dropDuplicates(["src", "dst"])
+    plan = deduped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan ExistingRDD") == 1, plan  # pair plan read once
+
+
 def test_contamination_is_equi_join(spark):
     """Decontamination joins test shingles against the distinct train
     vocabulary with a hash/sort-merge EQUI-join — linear, no cartesian."""

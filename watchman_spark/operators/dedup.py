@@ -159,8 +159,28 @@ def _sigs_from_shingle_arrays(
     higher-order-function lambdas are evaluated interpretively per
     element, while Generate + hash-aggregate both run in whole-stage
     codegen, and the map-side partial aggregation collapses the exchange
-    to one partial row per doc before it ships (guide §2.3)."""
+    to one partial row per doc before it ships (guide §2.3).
+
+    ``docs`` must be a PERSISTED (or otherwise plan-barriered) table.
+    Explode of a plain ``sh`` attribute makes InferFiltersFromGenerate
+    add a ``size(sh) > 0 AND sh IS NOT NULL`` predicate (the rule skips
+    expensive inline children per SPARK-36715, but an attribute looks
+    cheap), and predicate pushdown then substitutes the FULL shingle
+    expression — with ``split(text)`` re-inlined into every element_at —
+    below the words-staging projection: O(words²·k) per doc inside a
+    filter. Measured 160-180 s vs ~8 s at sf1.0 for the signature pass
+    (plans/r06/minhash_sig_inferfilter_*). The cache boundary stops the
+    pushdown, so the inferred filter evaluates on cached arrays instead.
+    Un-persisted callers go through minhash_signatures below, which
+    explodes the inline expression (rule-skipped) instead."""
     sh = docs.select("id", F.explode("sh").alias("shingle"))
+    return _agg_sigs(sh, n_hashes, portable)
+
+
+def _agg_sigs(sh: DataFrame, n_hashes: int, portable: bool) -> DataFrame:
+    """groupBy(id) with n_hashes MIN-hash aggregates over an exploded
+    (id, shingle) table (duplicate shingles would not change a MIN, and
+    both callers feed distinct shingles anyway)."""
     if portable:
         mins = [
             F.min(
@@ -300,10 +320,16 @@ def minhash_signatures(
     per doc); the explode + groupBy(n_hashes × MIN) aggregation itself is
     kept deliberately — see _sigs_from_shingle_arrays for the measured
     codegen-vs-lambda comparison. Values are oracle-pinned by the
-    dedup_minhash_lsh_portable / dedup_ingest_match_portable queries."""
-    return _sigs_from_shingle_arrays(
-        _shingle_arrays(df, id_col, text_col, k), n_hashes, portable
-    )
+    dedup_minhash_lsh_portable / dedup_ingest_match_portable queries.
+
+    r6 second pass: the explode goes through shingle_table (Generate over
+    the INLINE shingle expression) rather than a (id, sh) projection —
+    InferFiltersFromGenerate skips expensive inline children but fires on
+    attribute children, and its pushed-down size() filter re-inlines
+    split(text) into every shingle slice: measured 160-180 s vs ~8 s for
+    this pass at sf1.0 (see _sigs_from_shingle_arrays docstring). Same
+    exploded rows, same mins, same signatures."""
+    return _agg_sigs(shingle_table(df, id_col, text_col, k), n_hashes, portable)
 
 
 def band_digest_table(
@@ -689,16 +715,33 @@ def resolve_components(
     otherwise compounds lineage until planning itself dominates). Per
     iteration: one shuffle of |E| rows on id — no driver-side graph, no
     collect; the only driver value is the per-iteration changed-count."""
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # r6: symmetrize by EXPLODING each pair into its two directions instead
+    # of unionByName(pairs, swapped(pairs)) — the union's two branches each
+    # contained the FULL upstream pair-generation plan (candidate join +
+    # exact verify for the dedup pair tables), and Spark does not
+    # common-subexpression-eliminate across union branches, so the most
+    # expensive part of dedup_resolve / dedup_lsh_clusters executed TWICE
+    # (guide §1.2 "don't compute things you throw away"; verified in the
+    # before-plan's duplicated join subtrees, plans/r06).
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # r6: pre-partition the persisted edge table BY THE JOIN KEY — its
     # HashPartitioning(src) satisfies every iteration's join requirement,
     # so only the (tiny) label table is exchanged per iteration instead of
     # re-shuffling |E| edge rows every round (guide §2.4: two operations
-    # keyed the same way share one exchange).
-    edges = _reused(edges.repartition("src"))
+    # keyed the same way share one exchange). The symmetrize-dedup runs
+    # AFTER the repartition for the same reason: HashPartitioning(src)
+    # already co-locates every (src, dst) group (src ⊆ the dedup keys), so
+    # dropDuplicates adds NO second exchange — the old
+    # distinct().repartition("src") shuffled the edge table twice
+    # (plan-asserted single-Exchange in tests/test_plans.py).
+    edges = _reused(edges.repartition("src").dropDuplicates(["src", "dst"]))
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -53,8 +53,9 @@ def bm25_scores(
     # with stack() and filtered to tf > 0. Value-identical to the old
     # explode → filter → groupBy(doc, dl, term) (count of equal tokens),
     # minus the full token-stream Generate and its (doc_id, term)
-    # exchange. tf is persisted because BOTH the per-term df aggregate and
-    # the scoring join read it (one scan instead of two).
+    # exchange. The pre-stack projection is persisted because the per-term
+    # df aggregate, the scoring join AND the corpus aggregate all read it
+    # (one scan + split instead of three).
     from pyspark.storagelevel import StorageLevel
 
     tokens = F.split(F.col(text_col), " ", -1)
@@ -71,23 +72,25 @@ def bm25_scores(
     stack_args = ", ".join(
         "'{}', __tf_{}".format(t.replace("'", "''"), i) for i, t in enumerate(terms)
     )
-    tf = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(tokens).alias("dl"),
-            *tf_cols,
-        )
-        .selectExpr(
-            "doc_id",
-            "dl",
-            f"stack({len(terms)}, {stack_args}) AS (term, tf)",
-        )
-        .filter(F.col("tf") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    corpus = docs.agg(
+    # r6 second pass (guide §1.2 "don't compute things twice"): persist the
+    # pre-stack projection (doc_id, dl, per-term counts — a few ints/doc)
+    # and derive BOTH the tf table and the corpus aggregate from it. The
+    # old shape persisted post-stack tf and ran the corpus (N, Σdl)
+    # aggregate as a SECOND full scan + split of the text — the split is
+    # the expensive part of this query, and it ran twice.
+    pre = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens).alias("dl"),
+        *tf_cols,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tf = pre.selectExpr(
+        "doc_id",
+        "dl",
+        f"stack({len(terms)}, {stack_args}) AS (term, tf)",
+    ).filter(F.col("tf") > 0)
+    corpus = pre.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.col(text_col), " ", -1))).alias("total_toks"),
+        F.sum("dl").alias("total_toks"),
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = F.col("n_docs")

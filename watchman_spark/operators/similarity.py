@@ -37,6 +37,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def cosine_staged(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
+    """cosine() with the two norms supplied from pre-computed columns.
+
+    r6 (guide §1.2 "per-task work"): higher-order-function lambdas are
+    evaluated interpretively per element, and the inline cosine()
+    re-derives BOTH 64-element norm folds once per scored candidate. In
+    every join-shaped ANN path a vector participates in many candidates,
+    so staging l2norm as its own projection on each side BEFORE the join
+    computes it once per row instead of once per candidate — the exact
+    same dot/sqrt/multiply/divide f64 ops in the same order, so values
+    (and the 4-dp rounded oracle grid) are bit-identical."""
+    return dot(a, b) / (a_norm * b_norm)
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: Column | DataFrame,
@@ -48,12 +62,23 @@ def brute_force_topk(
     DataFrame with a ``q`` array column (broadcast) or a literal Column."""
     base = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     if isinstance(query_vec, DataFrame):
-        scored = base.crossJoin(F.broadcast(query_vec))
+        # stage the query norm on the 1-row side: computed once instead of
+        # once per corpus row (cosine_staged)
+        qn = query_vec.withColumn("__qn", l2norm(F.col("q")))
+        scored = base.crossJoin(F.broadcast(qn))
     else:
-        scored = base.withColumn("q", query_vec)
+        scored = base.withColumn("q", query_vec).withColumn(
+            "__qn", l2norm(F.col("q"))
+        )
     return (
         scored.select(
-            F.col(id_col), F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim")
+            F.col(id_col),
+            F.round(
+                cosine_staged(
+                    F.col("v"), F.col("q"), l2norm(F.col("v")), F.col("__qn")
+                ),
+                4,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
@@ -137,18 +162,35 @@ def brute_force_topk_quantized(
         F.col(id_col), F.col("q").alias("v")
     )
     if isinstance(query_vec, DataFrame):
-        scored = base.crossJoin(F.broadcast(query_vec))
+        # stage the query's double array AND its norm on the 1-row side
+        # (computed once, not once per corpus row — cosine_staged)
+        qd = query_vec.select(
+            F.transform(F.col("q"), lambda x: x.cast("double")).alias("__qd")
+        ).withColumn("__qn", l2norm(F.col("__qd")))
+        scored = base.crossJoin(F.broadcast(qd))
     else:
-        scored = base.withColumn("q", query_vec)
+        scored = (
+            base.withColumn("q", query_vec)
+            .withColumn(
+                "__qd", F.transform(F.col("q"), lambda x: x.cast("double"))
+            )
+            .withColumn("__qn", l2norm(F.col("__qd")))
+        )
     staged = scored.select(
         F.col(id_col),
         F.transform(F.col("v"), lambda x: x.cast("double")).alias("__vd"),
-        F.transform(F.col("q"), lambda x: x.cast("double")).alias("__qd"),
+        F.col("__qd"),
+        F.col("__qn"),
     )
     return (
         staged.select(
             F.col(id_col),
-            F.round(cosine(F.col("__vd"), F.col("__qd")), 4).alias("cos_sim"),
+            F.round(
+                cosine_staged(
+                    F.col("__vd"), F.col("__qd"), l2norm(F.col("__vd")), F.col("__qn")
+                ),
+                4,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
@@ -166,14 +208,19 @@ def cosine_pairs_blocked(
     the block key keeps the pair space linear in block size."""
     v = df.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("__n", l2norm(F.col("v")))  # once per row, not per pair
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+            F.round(
+                cosine_staged(
+                    F.col("a.v"), F.col("b.v"), F.col("a.__n"), F.col("b.__n")
+                ),
+                4,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -276,18 +323,28 @@ def lsh_topk(
     planes), broadcast to the corpus-side join, so candidate generation
     stays one map-side hash join regardless of corpus size. Radii outside
     [0, n_planes] raise (they used to silently probe radius 1)."""
-    base = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).withColumn(
-        "bucket", lsh_bucket(F.col("v"), dim, n_planes)
+    base = (
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))
+        .withColumn("__vn", l2norm(F.col("v")))  # once per row, not per candidate
     )
-    q = query_df.select(as_double(F.col("q")).alias("q")).withColumn(
-        "bucket", lsh_bucket(F.col("q"), dim, n_planes)
+    q = (
+        query_df.select(as_double(F.col("q")).alias("q"))
+        .withColumn("bucket", lsh_bucket(F.col("q"), dim, n_planes))
+        .withColumn("__qn", l2norm(F.col("q")))
     )
     masks = _probe_masks(n_planes, probes)
     if masks:
-        q = _probe_explode(q, ["q"], masks)
+        q = _probe_explode(q, ["q", "__qn"], masks)
     return (
         base.join(F.broadcast(q), "bucket")
-        .select(F.col(id_col), F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine_staged(F.col("v"), F.col("q"), F.col("__vn"), F.col("__qn")),
+                4,
+            ).alias("cos_sim"),
+        )
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
@@ -324,19 +381,25 @@ def knn_join_lsh(
     at small n_planes the handful of hot buckets is the skew risk)."""
     from pyspark.sql import Window
 
-    base = corpus.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))
-    q = queries.select(
-        F.col(query_id_col), as_double(F.col(query_vec_col)).alias("q")
-    ).withColumn("bucket", lsh_bucket(F.col("q"), dim, n_planes))
+    base = (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))
+        .withColumn("__vn", l2norm(F.col("v")))  # once per row, not per candidate
+    )
+    q = (
+        queries.select(F.col(query_id_col), as_double(F.col(query_vec_col)).alias("q"))
+        .withColumn("bucket", lsh_bucket(F.col("q"), dim, n_planes))
+        .withColumn("__qn", l2norm(F.col("q")))
+    )
     masks = _probe_masks(n_planes, probes)
     if masks:
-        q = _probe_explode(q, [query_id_col, "q"], masks)
+        q = _probe_explode(q, [query_id_col, "q", "__qn"], masks)
     cand = base.join(q, "bucket").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"),
+        F.round(
+            cosine_staged(F.col("v"), F.col("q"), F.col("__vn"), F.col("__qn")), 4
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -375,13 +438,17 @@ def knn_join_ivf(
     if assigned is None:
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
     probe = _assign_udf(cents, nprobe=nprobe)
-    q = queries.select(
-        F.col(query_id_col), as_double(F.col(query_vec_col)).alias("q")
-    ).withColumn("centroid", F.explode(probe(F.col("q"))))
-    cand = assigned.join(q, "centroid").select(
+    q = (
+        queries.select(F.col(query_id_col), as_double(F.col(query_vec_col)).alias("q"))
+        .withColumn("centroid", F.explode(probe(F.col("q"))))
+        .withColumn("__qn", l2norm(F.col("q")))
+    )
+    cand = assigned.withColumn("__vn", l2norm(F.col("v"))).join(q, "centroid").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"),
+        F.round(
+            cosine_staged(F.col("v"), F.col("q"), F.col("__vn"), F.col("__qn")), 4
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -689,10 +756,18 @@ def ivf_topk(
     q = (
         query_df.select(as_double(F.col("q")).alias("q"))
         .withColumn("centroid", F.explode(probe(F.col("q"))))
+        .withColumn("__qn", l2norm(F.col("q")))
     )
     return (
-        assigned.join(F.broadcast(q), "centroid")
-        .select(F.col(id_col), F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))
+        assigned.withColumn("__vn", l2norm(F.col("v")))
+        .join(F.broadcast(q), "centroid")
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine_staged(F.col("v"), F.col("q"), F.col("__vn"), F.col("__qn")),
+                4,
+            ).alias("cos_sim"),
+        )
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )

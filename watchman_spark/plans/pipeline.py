@@ -224,23 +224,41 @@ def run_pipeline(
         #    parquet footers above — it costs nothing here.
         if m.rows_in > 0:
             agg_in = spark.read.schema(routed.schema).parquet(staging)
-            wh.write_append(
-                agg_in.groupBy("conv_id", "role", "tool").agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum("latency_ms").alias("sum_latency_ms"),
-                    F.max("err_ms").alias("max_err_ms"),
-                ),
-                "agg_conv_role_tool",
-                lineage=lineage,
-            )
-            dc = {
-                r["sink"]: r["dc"]
-                for r in agg_in.select("sink", "conv_id")
-                .distinct()
-                .groupBy("sink")
-                .agg(F.count(F.lit(1)).alias("dc"))
-                .collect()
-            }
+            # r6 (guide §2.6 "overlap independent jobs"): (a) and (b) are
+            # independent — (b) collects, (a) writes a different table —
+            # so submit both from a 2-thread pool and let (b)'s tasks
+            # back-fill executors freed by (a)'s tail instead of serializing
+            # two lean jobs' scheduling + straggler tails.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _job_a():
+                spark.sparkContext.setJobDescription("pipeline: rollup write")
+                wh.write_append(
+                    agg_in.groupBy("conv_id", "role", "tool").agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("latency_ms").alias("sum_latency_ms"),
+                        F.max("err_ms").alias("max_err_ms"),
+                    ),
+                    "agg_conv_role_tool",
+                    lineage=lineage,
+                )
+
+            def _job_b():
+                spark.sparkContext.setJobDescription("pipeline: distinct convs")
+                return {
+                    r["sink"]: r["dc"]
+                    for r in agg_in.select("sink", "conv_id")
+                    .distinct()
+                    .groupBy("sink")
+                    .agg(F.count(F.lit(1)).alias("dc"))
+                    .collect()
+                }
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fut_a = pool.submit(_job_a)
+                fut_b = pool.submit(_job_b)
+                dc = fut_b.result()
+                fut_a.result()
             m.parse_miss = sink_n_text.get(cfg.default_sink, 0)
             counts_tbl = pa.table(
                 {

@@ -7,8 +7,6 @@ just rows-only."""
 
 from __future__ import annotations
 
-import hashlib
-
 import pandas as pd
 
 from pyspark.sql import Window
@@ -284,22 +282,28 @@ def udf_grok_parse(spark, sf_dir):
        FROM events GROUP BY user_id""",
 )
 def udf_conv_digest(spark, sf_dir):
-    # the REAL grouped-map canonicalization path (U3): applyInPandas sorts
-    # the group and digests the ordered sequence
+    # r6 (guide §4.1 "prefer built-in aggregations ... over
+    # groupBy().applyInPandas, which ship every row"): the ordered-sequence
+    # digest is exactly expressible with built-ins —
+    # array_sort(collect_list(struct(ts, event_id, event_type))) sorts by
+    # (ts, event_id) (event_id is unique, so the struct order equals the
+    # ORDER BY), transform projects the event_type sequence, and
+    # sha2(array_join(...), 256) is byte-identical to Python's
+    # sha256(",".join(...)).hexdigest(). Fully JVM + map-side partial
+    # collect_list vs one Python round-trip per group: measured 4.22s →
+    # 0.25s (17x) at sf1.0/32 cores, exceptAll-identical rows. The REAL
+    # grouped-map applyInPandas canonicalization operator (SURVEY U3)
+    # remains operators/invariants.py conv_digests (+ chunked variant),
+    # pytested in tests/test_invariants.py.
     ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-
-    def digest(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        joined = ",".join(pdf["event_type"])
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "digest": [hashlib.sha256(joined.encode()).hexdigest()],
-                "n": [len(pdf)],
-            }
-        )
-
-    return ev.groupBy("user_id").applyInPandas(digest, "user_id long, digest string, n long")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    return ev.groupBy("user_id").agg(
+        F.sha2(F.array_join(ordered, ","), 256).alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("user_id", "digest", "n")
 
 
 # U4: a REAL grouped-agg pandas_udf (Arrow-batched Python aggregation) —
