@@ -191,6 +191,16 @@ def test_resolve_edge_build_single_exchange_single_scan(spark):
     assert plan.count("Scan ExistingRDD") == 1, plan  # pair plan read once
 
 
+def test_retention_single_scan_no_self_join(spark):
+    """r6: cohort retention reads the events table ONCE — cohort_day is a
+    window min over the key-repartitioned distinct (key, day) set, not a
+    groupBy-min joined back against a second distinct scan."""
+    plan = plan_of(spark, "events_retention")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
 def test_contamination_is_equi_join(spark):
     """Decontamination joins test shingles against the distinct train
     vocabulary with a hash/sort-merge EQUI-join — linear, no cartesian."""

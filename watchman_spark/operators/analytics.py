@@ -121,12 +121,27 @@ def retention_cohorts(
     construction (every key is active on its own first day)."""
     from pyspark.sql.window import Window
 
-    days = df.select(
-        F.col(key_col).alias("key"), F.date_trunc("day", F.col(ts_col)).alias("d")
-    ).distinct()
-    firsts = days.groupBy("key").agg(F.min("d").alias("cohort_day"))
+    # r6 (guide §2.4, §1.2): ONE scan, no self-join. The old shape
+    # distinct'ed (key, day) and then joined it against its own
+    # groupBy-min — the distinct subplan (a full scan + exchange of the
+    # events table) executed twice, and the join added two more
+    # exchanges. Now: repartition by key (one exchange — its
+    # HashPartitioning(key) satisfies both the (key, d) dedup clustering
+    # and the cohort window's partitioning, so neither adds an exchange)
+    # → dropDuplicates → min(d) OVER (PARTITION BY key) — identical
+    # cohort_day (min over the same distinct day set), 6 exchanges + 2
+    # scans → 4 exchanges + 1 scan (plan-asserted in tests/test_plans.py).
+    days = (
+        df.select(
+            F.col(key_col).alias("key"), F.date_trunc("day", F.col(ts_col)).alias("d")
+        )
+        .repartition("key")
+        .dropDuplicates(["key", "d"])
+    )
+    cohort = F.min("d").over(Window.partitionBy("key"))
+    withc = days.withColumn("cohort_day", cohort)
     dd = F.datediff(F.col("d"), F.col("cohort_day"))
-    j = days.join(firsts, "key").select(
+    j = withc.select(
         "key",
         "cohort_day",
         ((dd - F.pmod(dd, F.lit(7))) / 7).cast("long").alias("week_offset"),

@@ -1184,7 +1184,17 @@ _MIX_D_SQL = """d AS (
 def _mix_base(spark, sf_dir):
     """Spark mirror of _MIX_D_SQL: documents with per-doc tokens, source
     weight, and the per-source token target budget*w/wsum appended (two
-    broadcast-1-row scalar joins)."""
+    broadcast-1-row scalar joins).
+
+    r6 considered and REVERTED (measured): persisting ``d`` so the budget
+    aggregate, weight-sum aggregate, per-source totals and the final
+    projection share one materialization — the registry plan audit shows
+    11 Exchanges for the sampled variant, mostly re-derivations of this
+    base. Interleaved A/B at sf1.0 (5 cycles each): persist 0.90 s median
+    vs recompute 0.75 s — the side reads are all map-side partial
+    aggregates over a cheap split, and cache materialization + read costs
+    more than recomputing it. Guide §5: cache only when recomputing is
+    more expensive than the memory traffic; here it is not."""
     d = (
         t(spark, sf_dir, "documents")
         .select(
