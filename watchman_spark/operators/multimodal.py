@@ -68,7 +68,13 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (mapInPandas).
 
     The stub vectorizer is deterministic; swap ``_fake_feature_vec`` for a
-    real encoder without touching the Spark plumbing."""
+    real encoder without touching the Spark plumbing.
+
+    r6 (guide §4.1): mapInPandas ships EVERY input column through Arrow —
+    Spark cannot see which columns the function touches — so the input is
+    explicitly projected to the four columns the extractor reads (the
+    media table also carries width/height, which would otherwise ride
+    the Python boundary for nothing)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -85,7 +91,9 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+    return media.select("doc_id", "media_type", "n_bytes", "payload").mapInPandas(
+        run, schema=FEATURES_SCHEMA
+    )
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
@@ -134,7 +142,10 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
                 }
             )
 
-    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+    # guide §4.1: project to the columns the resizer reads
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
 
 
 FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary"
@@ -162,4 +173,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
                     frames.append(raw[off : off + every_n_bytes])
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
-    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+    # guide §4.1: project to the columns the sampler reads
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        run, schema=FRAMES_SCHEMA
+    )
